@@ -1,0 +1,119 @@
+"""Sobel + preprocess ops vs. independent NumPy/PIL references.
+
+Sobel expectations re-implement the reference op's math
+(diffusert/lcm/canny_gpu.py:27-44) with scipy; crop geometry expectations
+re-state diffusert/videopipeline.py:91-107.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+from scipy.signal import convolve2d
+
+from videosd_tpu.ops import (
+    center_crop_box,
+    postprocess_image,
+    preprocess_frame,
+    rgb_to_gray,
+    sobel_control_image,
+    sobel_edges,
+    yuv420_to_rgb,
+)
+
+KX = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+KY = np.array([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]])
+
+
+def ref_sobel(gray, low, high):
+    # conv2d semantics (cross-correlation with zero padding), as in
+    # torch.nn.Conv2d with these kernels
+    ex = convolve2d(gray, KX[::-1, ::-1], mode="same", boundary="fill")
+    ey = convolve2d(gray, KY[::-1, ::-1], mode="same", boundary="fill")
+    edge = np.sqrt(ex**2 + ey**2)
+    edge = edge / edge.max()
+    edge = np.where(edge >= high, 1.0, edge)
+    edge = np.where(edge <= low, 0.0, edge)
+    return edge
+
+
+def test_rgb_to_gray_matches_pil(rng):
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    pil_gray = np.asarray(Image.fromarray(img).convert("L"), dtype=np.float64) / 255.0
+    ours = np.asarray(rgb_to_gray(img.astype(np.float32) / 255.0))
+    assert np.abs(ours - pil_gray).max() <= (1.5 / 255.0)
+
+
+def test_sobel_matches_reference_math(rng):
+    gray = rng.random((32, 40)).astype(np.float32)
+    want = ref_sobel(gray.astype(np.float64), 0.11, 0.8)
+    got = np.asarray(sobel_edges(gray, 0.11, 0.8))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sobel_batched(rng):
+    gray = rng.random((2, 16, 16)).astype(np.float32)
+    got = np.asarray(sobel_edges(gray, 0.11, 0.8))
+    for i in range(2):
+        want = ref_sobel(gray[i].astype(np.float64), 0.11, 0.8)
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_sobel_control_image_shape(rng):
+    rgb = rng.random((1, 16, 16, 3)).astype(np.float32)
+    ctrl = np.asarray(sobel_control_image(rgb))
+    assert ctrl.shape == (1, 16, 16, 3)
+    assert (ctrl >= 0).all() and (ctrl <= 1).all()
+    # all three channels identical
+    np.testing.assert_array_equal(ctrl[..., 0], ctrl[..., 1])
+
+
+@pytest.mark.parametrize(
+    "in_wh,out_wh",
+    [((640, 360), (512, 512)), ((360, 640), (512, 512)), ((640, 480), (640, 360)),
+     ((512, 512), (512, 512))],
+)
+def test_center_crop_box_matches_reference(in_wh, out_wh):
+    in_w, in_h = in_wh
+    out_w, out_h = out_wh
+    # reference formula, videopipeline.py:91-106
+    if in_w / in_h > out_w / out_h:
+        new_w = in_h * (out_w / out_h)
+        want = ((in_w - new_w) / 2, 0, (in_w + new_w) / 2, in_h)
+    else:
+        new_h = in_w * (out_h / out_w)
+        want = (0, (in_h - new_h) / 2, in_w, (in_h + new_h) / 2)
+    got = center_crop_box(in_w, in_h, out_w, out_h)
+    assert got == tuple(int(v) for v in want)
+
+
+def test_preprocess_frame_identity_passthrough(rng):
+    img = rng.integers(0, 256, (1, 64, 64, 3), dtype=np.uint8)
+    out = np.asarray(preprocess_frame(img, 64, 64))
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_preprocess_frame_crop_resize(rng):
+    img = rng.integers(0, 256, (1, 48, 96, 3), dtype=np.uint8)
+    out = np.asarray(preprocess_frame(img, 32, 32))
+    assert out.shape == (1, 32, 32, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_postprocess_roundtrip(rng):
+    img = rng.integers(0, 256, (1, 8, 8, 3), dtype=np.uint8)
+    x = img.astype(np.float32) / 255.0 * 2.0 - 1.0
+    back = np.asarray(postprocess_image(x))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_yuv420_to_rgb_primaries():
+    # gray: Y=128, U=V=128 -> RGB ~0.5
+    y = np.full((4, 4), 128, np.uint8)
+    u = np.full((2, 2), 128, np.uint8)
+    v = np.full((2, 2), 128, np.uint8)
+    rgb = np.asarray(yuv420_to_rgb(y, u, v))
+    np.testing.assert_allclose(rgb, 128 / 255.0, atol=1e-3)
+    # pure red-ish: V high
+    v2 = np.full((2, 2), 255, np.uint8)
+    rgb2 = np.asarray(yuv420_to_rgb(y, u, v2))
+    assert rgb2[..., 0].mean() > 0.9 and rgb2[..., 1].mean() < 0.3

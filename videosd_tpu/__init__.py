@@ -1,0 +1,21 @@
+"""videosd_tpu — a TPU-native real-time video diffusion framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of venetanji/videosd
+(reference at /root/reference): a real-time webcam -> Stable Diffusion
+stylization service.  The reference is CUDA/torch/Ray; this framework is
+TPU-first:
+
+- the whole per-frame path (preprocess -> canny -> VAE encode -> K-step LCM
+  denoise -> decode -> uint8 postprocess) is ONE jitted XLA program with
+  device-resident state (no host round trips between stages),
+- multi-chip scaling is jax.sharding.Mesh + NamedSharding under jit (ICI
+  collectives), not actor RPC,
+- hot ops (attention, groupnorm+silu, preprocessing) have Pallas TPU kernels,
+- the serving layer replaces the reference's Ray busy-flag scheduler
+  (reference: diffusert/server.py:132-137) with an async multi-stream
+  micro-batcher over fixed shape buckets.
+"""
+
+from videosd_tpu.version import __version__
+
+__all__ = ["__version__"]

@@ -1,0 +1,161 @@
+"""Configuration surface — kept API-compatible with the reference.
+
+Three tiers, mirroring the reference (SURVEY.md §5 "Config/flag system"):
+
+1. ``config.yaml`` keys (reference: diffusert/config.yaml:1-5, consumed at
+   diffusert/server.py:273 and videopipeline.py:23): ``model``,
+   ``controlnet``, ``gpus``, ``compile``.  This framework accepts the same
+   keys (``gpus`` maps to device count) plus TPU-native extras.
+2. CLI flags (``--host/--port/--cert-file/--key-file/-v``,
+   server.py:280-292) — implemented in videosd_tpu.server.app.
+3. Per-session live options mutated over the "prompt" data channel with the
+   exact type-coercion table of server.py:171-187 and the client defaults of
+   client/src/lib/pages/home/index.tsx:35-47.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import yaml
+
+__all__ = [
+    "ServerConfig",
+    "StreamOptions",
+    "coerce_option",
+    "coerce_options",
+    "default_options",
+    "load_config",
+]
+
+
+# Live per-stream option schema.  Keys + coercions re-state the reference's
+# data-channel handler (server.py:171-187); defaults re-state the client's
+# initOptions (index.tsx:35-47).
+_OPTION_COERCIONS = {
+    "prompt": str,
+    "strength": float,
+    "steps": int,
+    "guidance_scale": float,
+    "controlnet_scale": float,
+    "style_fidelity": float,
+    "seed": int,
+    "ref": bool,
+    "controlnet": bool,
+    "width": int,
+    "height": int,
+    "negative_prompt": str,
+}
+
+_OPTION_DEFAULTS = {
+    "prompt": "portrait of a person, pixar, cg",
+    "strength": 0.6,
+    "guidance_scale": 5.0,
+    "steps": 4,
+    "seed": 23,
+    "ref": False,
+    "style_fidelity": 1.0,
+    "controlnet": True,
+    "controlnet_scale": 2.0,
+    "width": 512,
+    "height": 512,
+    "negative_prompt": "",
+}
+
+
+def default_options() -> dict[str, Any]:
+    """Fresh copy of the client-default option dict (index.tsx:35-47)."""
+    return dict(_OPTION_DEFAULTS)
+
+
+def coerce_option(key: str, value: Any) -> Any:
+    """Coerce one incoming data-channel value (server.py:171-187).
+
+    Unknown keys pass through untouched, like the reference's generic
+    ``options[key] = value`` merge (server.py:194-195).
+    """
+    fn = _OPTION_COERCIONS.get(key)
+    if fn is None:
+        return value
+    if fn is bool and isinstance(value, str):
+        # JSON booleans arrive as bools, but be tolerant of "true"/"false".
+        return value.strip().lower() not in ("", "0", "false", "no")
+    return fn(value)
+
+
+def coerce_options(message: dict[str, Any]) -> dict[str, Any]:
+    return {k: coerce_option(k, v) for k, v in message.items()}
+
+
+@dataclasses.dataclass
+class StreamOptions:
+    """Typed view over the live options dict (for internal use)."""
+
+    prompt: str = _OPTION_DEFAULTS["prompt"]
+    negative_prompt: str = ""
+    strength: float = 0.6
+    steps: int = 4
+    guidance_scale: float = 5.0
+    controlnet_scale: float = 2.0
+    style_fidelity: float = 1.0
+    seed: int = 23
+    ref: bool = False
+    controlnet: bool = True
+    width: int = 512
+    height: int = 512
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "StreamOptions":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: coerce_option(k, v) for k, v in d.items() if k in fields})
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class ServerConfig:
+    """config.yaml schema.
+
+    ``model``/``controlnet``/``gpus``/``compile`` keep the reference's keys
+    and meaning (config.yaml:1-5); ``gpus`` counts accelerator devices
+    (TPU chips here).  TPU-native extras get defaults that preserve the
+    reference behavior when absent.
+    """
+
+    model: str = "SimianLuo/LCM_Dreamshaper_v7"
+    controlnet: str = "lllyasviel/control_v11p_sd15_canny"
+    gpus: int = 1
+    compile: bool = False
+
+    # --- TPU-native extensions (absent from the reference) ---
+    # model family preset: sd15 | sd21 | sdxl | tiny (tests)
+    family: str = "sd15"
+    # dtype for model params/compute
+    dtype: str = "bfloat16"
+    # mesh axis sizes; data * model must equal `gpus`
+    mesh_data: int | None = None
+    mesh_model: int = 1
+    # static compile buckets
+    resolution_buckets: tuple = ((512, 512), (768, 768))
+    batch_buckets: tuple = (1, 2, 4, 8)
+    # micro-batcher deadline (ms) before a partial batch is cut
+    batch_deadline_ms: float = 10.0
+    # weight source: HF-style local cache dir or "random" (tests/bench)
+    weights: str = "auto"
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ServerConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        known = {k: v for k, v in d.items() if k in fields}
+        cfg = cls(**known)
+        if cfg.mesh_data is None:
+            cfg.mesh_data = max(1, cfg.gpus // max(1, cfg.mesh_model))
+        return cfg
+
+
+def load_config(path: str = "config.yaml") -> ServerConfig:
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return ServerConfig.from_dict(raw)

@@ -1,0 +1,262 @@
+"""Core NHWC layer library: functional params-as-pytrees building blocks.
+
+Every layer is a pair of functions: ``*_init(key, ...) -> params`` and an
+apply function ``f(params, x, ...) -> y``.  Params are plain nested dicts so
+they pjit/shard/convert trivially; names track the diffusers module names
+(kernel/bias per layer) so torch->JAX weight conversion is a rename +
+transpose (see videosd_tpu/io/weights.py).
+
+TPU conventions:
+* activations NHWC, conv kernels HWIO (XLA's native TPU layouts),
+* matmuls/convs run in the param dtype (bf16 by default) with fp32
+  accumulation via ``preferred_element_type``,
+* normalization statistics and softmax always in fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+__all__ = [
+    "conv2d_init",
+    "conv2d",
+    "linear_init",
+    "linear",
+    "group_norm_init",
+    "group_norm",
+    "layer_norm_init",
+    "layer_norm",
+    "attention",
+    "timestep_embedding",
+    "guidance_embedding",
+    "silu",
+    "geglu_init",
+    "geglu",
+    "avg_pool2d",
+    "upsample_nearest2d",
+]
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+# ---------------------------------------------------------------- conv / linear
+
+
+def conv2d_init(
+    key, in_ch: int, out_ch: int, kernel: int = 3, *, bias: bool = True
+) -> Params:
+    k1, _ = jax.random.split(key)
+    fan_in = in_ch * kernel * kernel
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {
+        "kernel": jax.random.uniform(
+            k1, (kernel, kernel, in_ch, out_ch), jnp.float32, -bound, bound
+        )
+    }
+    if bias:
+        p["bias"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def conv2d(params: Params, x, *, stride: int = 1, padding: int | str = "SAME"):
+    """NHWC conv. ``padding`` is SAME/VALID or an explicit symmetric int."""
+    if isinstance(padding, int):
+        pad = [(padding, padding), (padding, padding)]
+    else:
+        pad = padding
+    kernel = params["kernel"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def linear_init(key, in_dim: int, out_dim: int, *, bias: bool = True) -> Params:
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"kernel": jax.random.uniform(key, (in_dim, out_dim), jnp.float32, -bound, bound)}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def linear(params: Params, x):
+    y = jnp.dot(x, params["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------- norms
+
+
+def group_norm_init(num_channels: int) -> Params:
+    return {
+        "scale": jnp.ones((num_channels,), jnp.float32),
+        "bias": jnp.zeros((num_channels,), jnp.float32),
+    }
+
+
+def group_norm(params: Params, x, *, groups: int = 32, eps: float = 1e-5):
+    """GroupNorm over the channel (last) axis of NHWC, fp32 statistics."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    shape = xf.shape
+    c = shape[-1]
+    g = groups
+    xg = xf.reshape(shape[:-1] + (g, c // g))
+    red_axes = tuple(range(1, xf.ndim - 1)) + (xf.ndim,)
+    mean = jnp.mean(xg, axis=red_axes, keepdims=True)
+    var = jnp.var(xg, axis=red_axes, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xf = xg.reshape(shape)
+    xf = xf * params["scale"] + params["bias"]
+    return xf.astype(orig_dtype)
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(params: Params, x, *, eps: float = 1e-5):
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf * params["scale"] + params["bias"]
+    return xf.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------- attention
+
+
+def attention(q, k, v, *, num_heads: int, mask=None, impl: str = "auto"):
+    """Multi-head scaled-dot-product attention on [B, S, D] tensors.
+
+    fp32 softmax; optionally routed to the Pallas flash kernel on TPU for
+    long self-attention sequences (impl="pallas"), else XLA einsum
+    (short cross-attention K/V of 77 tokens gains nothing from flash).
+    """
+    if impl == "pallas":
+        from videosd_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, num_heads=num_heads)
+
+    b, sq, d = q.shape
+    sk = k.shape[1]
+    h = num_heads
+    dh = d // h
+    qh = q.reshape(b, sq, h, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, sk, h, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, sk, h, dh).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / math.sqrt(dh)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=jnp.float32)
+    out = out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b, sq, d)
+    return out
+
+
+# ---------------------------------------------------------------- embeddings
+
+
+def timestep_embedding(
+    timesteps,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+):
+    """Sinusoidal timestep embedding, diffusers ``get_timestep_embedding``
+    semantics (SD UNets use flip_sin_to_cos=True, freq_shift=0).
+
+    timesteps: [B] int/float -> [B, dim] fp32.
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = jnp.asarray(timesteps, jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def guidance_embedding(w, dim: int = 256):
+    """LCM guidance-scale Fourier embedding (lcm_controlnet.py:347-368).
+
+    w: [B] guidance scales (traced).  Note the reference scales by 1000 and
+    uses sin-first ordering with log(10000)/(half-1) frequencies — this is
+    NOT the same convention as :func:`timestep_embedding`.
+    """
+    w = jnp.asarray(w, jnp.float32) * 1000.0
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    emb = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    emb = w[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+# ---------------------------------------------------------------- ffn
+
+
+def geglu_init(key, dim: int, inner_dim: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "proj": linear_init(k1, dim, inner_dim * 2),
+        "out": linear_init(k2, inner_dim, dim),
+    }
+
+
+def geglu(params: Params, x):
+    """GEGLU feed-forward (diffusers FeedForward default for SD UNets)."""
+    h = linear(params["proj"], x)
+    a, b = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.gelu(b.astype(jnp.float32)).astype(x.dtype)
+    return linear(params["out"], h)
+
+
+# ---------------------------------------------------------------- resize
+
+
+def avg_pool2d(x, window: int = 2):
+    return jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        (1, window, window, 1),
+        (1, window, window, 1),
+        "VALID",
+    ) / float(window * window)
+
+
+def upsample_nearest2d(x, factor: int = 2):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, factor, w, factor, c))
+    return x.reshape(b, h * factor, w * factor, c)

@@ -1,0 +1,17 @@
+from videosd_tpu.ops.preprocess import (
+    center_crop_box,
+    postprocess_image,
+    preprocess_frame,
+    yuv420_to_rgb,
+)
+from videosd_tpu.ops.sobel import rgb_to_gray, sobel_control_image, sobel_edges
+
+__all__ = [
+    "center_crop_box",
+    "postprocess_image",
+    "preprocess_frame",
+    "yuv420_to_rgb",
+    "rgb_to_gray",
+    "sobel_control_image",
+    "sobel_edges",
+]

@@ -1,0 +1,96 @@
+"""On-device frame pre/post-processing.
+
+The reference does all of this host-side per frame with PIL (center crop +
+LANCZOS resize: diffusert/videopipeline.py:91-107; [-1,1] normalize inside
+``VaeImageProcessor.preprocess``; uint8 postprocess at
+lcm_controlnet.py:609-618).  Here the whole chain is a jittable function of
+a device-resident uint8 NHWC frame, so it fuses into the same XLA program
+as the diffusion step (BASELINE north star: "frame preprocessing fused into
+the same XLA program").
+
+Crop geometry depends only on static shapes, so it compiles per
+(input-shape, output-shape) bucket; resize uses lanczos3 to approximate
+PIL's LANCZOS.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "center_crop_box",
+    "preprocess_frame",
+    "postprocess_image",
+    "yuv420_to_rgb",
+]
+
+
+def center_crop_box(in_w: int, in_h: int, out_w: int, out_h: int):
+    """Center-crop box matching diffusert/videopipeline.py:91-107.
+
+    Returns (left, top, right, bottom) as ints (PIL crop floors the floats).
+    """
+    if in_w / in_h > out_w / out_h:
+        new_w = in_h * (out_w / out_h)
+        left = (in_w - new_w) / 2
+        top = 0.0
+        right = (in_w + new_w) / 2
+        bottom = float(in_h)
+    else:
+        new_h = in_w * (out_h / out_w)
+        left = 0.0
+        top = (in_h - new_h) / 2
+        right = float(in_w)
+        bottom = (in_h + new_h) / 2
+    return int(left), int(top), int(right), int(bottom)
+
+
+def preprocess_frame(
+    frame_u8: jax.Array, out_h: int, out_w: int, dtype=jnp.float32
+) -> jax.Array:
+    """uint8 [..., H, W, 3] -> [..., out_h, out_w, 3] float in [0,1].
+
+    Center-crops to the target aspect ratio then resizes (lanczos3 ~= PIL
+    LANCZOS, videopipeline.py:107).  Output in [0,1]; use
+    ``x * 2 - 1`` for the VAE's [-1,1] domain.
+    """
+    in_h, in_w = frame_u8.shape[-3], frame_u8.shape[-2]
+    left, top, right, bottom = center_crop_box(in_w, in_h, out_w, out_h)
+    cropped = frame_u8[..., top:bottom, left:right, :]
+    x = cropped.astype(jnp.float32) / 255.0
+    out_shape = x.shape[:-3] + (out_h, out_w, 3)
+    if (bottom - top, right - left) != (out_h, out_w):
+        x = jax.image.resize(x, out_shape, method="lanczos3")
+        x = jnp.clip(x, 0.0, 1.0)
+    return x.astype(dtype)
+
+
+def postprocess_image(img: jax.Array) -> jax.Array:
+    """[-1,1] float NHWC -> uint8 NHWC (lcm_controlnet.py:609-618 semantics:
+    denormalize to [0,1], clamp, round to uint8)."""
+    x = jnp.asarray(img, jnp.float32)
+    x = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
+    return jnp.round(x * 255.0).astype(jnp.uint8)
+
+
+def yuv420_to_rgb(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Planar YUV420 (BT.601 full-range) -> float RGB in [0,1], on device.
+
+    WebRTC decoders hand us I420 planes; the reference converts via PyAV on
+    the host (``frame.to_image()``, server.py:108).  Doing it on-TPU keeps
+    the host->device copy at 1.5 bytes/pixel instead of 3.
+
+    y: [..., H, W]; u, v: [..., H/2, W/2], all uint8.
+    """
+    yf = y.astype(jnp.float32)
+    # upsample chroma 2x (nearest, matching common swscale fast paths)
+    uf = jnp.repeat(jnp.repeat(u.astype(jnp.float32), 2, axis=-2), 2, axis=-1)
+    vf = jnp.repeat(jnp.repeat(v.astype(jnp.float32), 2, axis=-2), 2, axis=-1)
+    uf = uf[..., : yf.shape[-2], : yf.shape[-1]] - 128.0
+    vf = vf[..., : yf.shape[-2], : yf.shape[-1]] - 128.0
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    rgb = jnp.stack([r, g, b], axis=-1) / 255.0
+    return jnp.clip(rgb, 0.0, 1.0)
