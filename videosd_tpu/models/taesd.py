@@ -1,0 +1,127 @@
+"""TAESD — tiny autoencoder for Stable Diffusion latents, NHWC JAX.
+
+The reference swaps the full KL-VAE for ``madebyollin/taesd``
+(diffusert/videopipeline.py:67-69) so that per-frame encode+decode costs a
+few conv layers instead of the full VAE.  Architecture re-derived from the
+public TAESD design: stacks of 3-conv residual ReLU blocks with stride-2
+convs (encoder) / nearest-2x upsamples (decoder); the decoder front-end
+soft-clamps latents with ``tanh(x/3)*3``.
+
+``scaling_factor`` is 1.0 (diffusers AutoencoderTiny config), so pipeline
+code can scale latents uniformly for any VAE flavor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from videosd_tpu.models.layers import Params, conv2d, conv2d_init, upsample_nearest2d
+
+__all__ = ["TAESDConfig", "taesd_init", "taesd_encode", "taesd_decode"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TAESDConfig:
+    latent_channels: int = 4
+    hidden: int = 64
+    num_stages: int = 3  # number of 2x down/up stages
+    blocks_per_stage: int = 3
+    scaling_factor: float = 1.0
+
+
+def _block_init(key, n_in: int, n_out: int) -> Params:
+    ks = jax.random.split(key, 4)
+    p = {
+        "conv": [
+            conv2d_init(ks[0], n_in, n_out),
+            conv2d_init(ks[1], n_out, n_out),
+            conv2d_init(ks[2], n_out, n_out),
+        ]
+    }
+    if n_in != n_out:
+        p["skip"] = conv2d_init(ks[3], n_in, n_out, kernel=1, bias=False)
+    return p
+
+
+def _block_apply(p: Params, x):
+    h = jax.nn.relu(conv2d(p["conv"][0], x))
+    h = jax.nn.relu(conv2d(p["conv"][1], h))
+    h = conv2d(p["conv"][2], h)
+    skip = conv2d(p["skip"], x, padding=0) if "skip" in p else x
+    return jax.nn.relu(h + skip)
+
+
+def taesd_init(key, cfg: TAESDConfig = TAESDConfig(), dtype=jnp.float32) -> Params:
+    h = cfg.hidden
+    n_enc = 2 + cfg.num_stages * (1 + cfg.blocks_per_stage) + 1
+    n_dec = 2 + cfg.num_stages * (cfg.blocks_per_stage + 1) + 2
+    ks = jax.random.split(key, n_enc + n_dec)
+    ki = iter(range(n_enc + n_dec))
+
+    enc: Params = {"conv_in": conv2d_init(ks[next(ki)], 3, h)}
+    enc["block_in"] = _block_init(ks[next(ki)], h, h)
+    enc["stages"] = []
+    for _ in range(cfg.num_stages):
+        stage = {
+            "down": conv2d_init(ks[next(ki)], h, h, bias=False),
+            "blocks": [
+                _block_init(ks[next(ki)], h, h) for _ in range(cfg.blocks_per_stage)
+            ],
+        }
+        enc["stages"].append(stage)
+    enc["conv_out"] = conv2d_init(ks[next(ki)], h, cfg.latent_channels)
+
+    dec: Params = {"conv_in": conv2d_init(ks[next(ki)], cfg.latent_channels, h)}
+    dec["stages"] = []
+    for _ in range(cfg.num_stages):
+        stage = {
+            "blocks": [
+                _block_init(ks[next(ki)], h, h) for _ in range(cfg.blocks_per_stage)
+            ],
+            "up": conv2d_init(ks[next(ki)], h, h, bias=False),
+        }
+        dec["stages"].append(stage)
+    dec["block_out"] = _block_init(ks[next(ki)], h, h)
+    dec["conv_out"] = conv2d_init(ks[next(ki)], h, 3)
+
+    p = {"encoder": enc, "decoder": dec}
+    if dtype != jnp.float32:
+        p = jax.tree.map(lambda a: a.astype(dtype), p)
+    return p
+
+
+def taesd_encode(params: Params, x, cfg: TAESDConfig = TAESDConfig()):
+    """[B,H,W,3] image in [-1,1]... NOTE: TAESD consumes [0,1] images.
+
+    diffusers' AutoencoderTiny wrapper rescales the pipeline's [-1,1]
+    domain internally; we take [-1,1] for API uniformity with the KL VAE
+    and rescale here.  Returns [B,H/8,W/8,4] latents.
+    """
+    enc = params["encoder"]
+    h = (x + 1.0) * 0.5  # [-1,1] -> [0,1]
+    h = conv2d(enc["conv_in"], h.astype(x.dtype))
+    h = _block_apply(enc["block_in"], h)
+    for stage in enc["stages"]:
+        h = conv2d(stage["down"], h, stride=2, padding=[(1, 1), (1, 1)])
+        for blk in stage["blocks"]:
+            h = _block_apply(blk, h)
+    return conv2d(enc["conv_out"], h)
+
+
+def taesd_decode(params: Params, z, cfg: TAESDConfig = TAESDConfig()):
+    """[B,h,w,4] latents -> [B,8h,8w,3] image in [-1,1]."""
+    dec = params["decoder"]
+    zf = jnp.tanh(z.astype(jnp.float32) / 3.0) * 3.0  # soft latent clamp
+    h = jax.nn.relu(conv2d(dec["conv_in"], zf.astype(z.dtype)))
+    for stage in dec["stages"]:
+        for blk in stage["blocks"]:
+            h = _block_apply(blk, h)
+        h = upsample_nearest2d(h)
+        h = conv2d(stage["up"], h)
+    h = _block_apply(dec["block_out"], h)
+    h = conv2d(dec["conv_out"], h)
+    # [0,1] -> [-1,1] for pipeline-uniform postprocessing
+    return h * 2.0 - 1.0
