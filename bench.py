@@ -1,0 +1,77 @@
+"""Benchmark: flagship 4-step LCM 512x512 img2img frame rate on one chip.
+
+Prints ONE JSON line {"metric","value","unit","vs_baseline"}.
+Baseline: the rebuild target of >=20 FPS/stream (BASELINE.md; the reference
+publishes no numbers of its own — its only runtime metric is the
+"Average gentime" EMA, diffusert/server.py:113-114).
+vs_baseline = measured_fps / 20.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 20.0
+
+
+def main() -> None:
+    from videosd_tpu.pipelines.lcm_img2img import (
+        FrameSpec,
+        ModelBundle,
+        build_frame_program,
+        build_prompt_encoder,
+    )
+
+    bundle = ModelBundle.random("sd15", dtype=jnp.bfloat16)
+    spec = FrameSpec(batch=1, height=512, width=512, steps=4)
+    program = build_frame_program(bundle, spec)
+    encoder = build_prompt_encoder(bundle)
+
+    ids = jnp.asarray(bundle.tokenizer(["portrait, pixar, cg"]), jnp.int32)
+    embeds, _ = encoder(bundle.params, ids)
+
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 512, 512, 3), dtype=np.uint8))
+    strength = jnp.array([0.6], jnp.float32)
+    guidance = jnp.array([5.0], jnp.float32)
+    cn = jnp.array([2.0], jnp.float32)
+    seed = jnp.array([23], jnp.int32)
+
+    # warmup/compile
+    out, lat = program(bundle.params, frame, embeds, strength, guidance, cn, seed)
+    jax.block_until_ready(out)
+
+    n = 30
+    lat_ms = []
+    t_start = time.perf_counter()
+    for i in range(n):
+        t0 = time.perf_counter()
+        out, lat = program(
+            bundle.params, frame, embeds, strength, guidance, cn, seed + i
+        )
+        jax.block_until_ready(out)
+        lat_ms.append((time.perf_counter() - t0) * 1e3)
+    wall = time.perf_counter() - t_start
+
+    fps = n / wall
+    p50 = float(np.percentile(lat_ms, 50))
+    print(
+        json.dumps(
+            {
+                "metric": "lcm_4step_512x512_img2img_fps_1stream",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 4),
+                "p50_latency_ms": round(p50, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

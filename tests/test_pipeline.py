@@ -1,0 +1,171 @@
+"""End-to-end frame-program tests on the tiny family.
+
+Covers the minimum end-to-end slice of SURVEY.md §7 step 3: uint8 frame in
+-> uint8 frame out, determinism by seed, live-parameter tracing (no
+recompile), per-element strength masking, and warm latent reuse.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videosd_tpu.pipelines.lcm_img2img import (
+    FrameSpec,
+    ModelBundle,
+    build_frame_program,
+    build_prompt_encoder,
+)
+
+SPEC = FrameSpec(batch=1, height=32, width=32, steps=2)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return ModelBundle.random("tiny", dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def program(bundle):
+    return build_frame_program(bundle, SPEC)
+
+
+def _opts(b=1, strength=0.6, guidance=5.0, cn=2.0, seed=23):
+    return (
+        jnp.full((b,), strength, jnp.float32),
+        jnp.full((b,), guidance, jnp.float32),
+        jnp.full((b,), cn, jnp.float32),
+        jnp.full((b,), seed, jnp.int32),
+    )
+
+
+@pytest.fixture(scope="module")
+def embeds(bundle):
+    enc = build_prompt_encoder(bundle)
+    ids = jnp.asarray(bundle.tokenizer(["a cat"]), jnp.int32)
+    ctx, _ = enc(bundle.params, ids)
+    return ctx
+
+
+def test_frame_program_end_to_end(bundle, program, embeds, rng):
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    out, latents = program(bundle.params, frame, embeds, *_opts())
+    assert out.shape == (1, 32, 32, 3) and out.dtype == jnp.uint8
+    assert latents.shape == (1, 4, 4, 4)
+    assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_determinism_by_seed(bundle, program, embeds, rng):
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    o1, _ = program(bundle.params, frame, embeds, *_opts(seed=7))
+    o2, _ = program(bundle.params, frame, embeds, *_opts(seed=7))
+    o3, _ = program(bundle.params, frame, embeds, *_opts(seed=8))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.abs(np.asarray(o3).astype(int) - np.asarray(o1).astype(int)).max() > 0
+
+
+def test_sliders_do_not_recompile(bundle, embeds, rng):
+    traces = []
+    spec = SPEC
+
+    from videosd_tpu.pipelines import lcm_img2img as m
+
+    orig = m.frame_program
+
+    def counting(*a, **kw):
+        traces.append(1)
+        return orig(*a, **kw)
+
+    m.frame_program = counting
+    try:
+        prog = build_frame_program(ModelBundle.random("tiny", dtype=jnp.float32), spec)
+        b = ModelBundle.random("tiny", dtype=jnp.float32)
+        frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+        for s, g, c, sd in [(0.6, 5.0, 2.0, 1), (0.3, 7.0, 0.5, 2), (0.9, 1.0, 3.0, 3)]:
+            prog(b.params, frame, embeds, *_opts(strength=s, guidance=g, cn=c, seed=sd))
+    finally:
+        m.frame_program = orig
+    assert len(traces) == 1
+
+
+def test_strength_changes_output(bundle, program, embeds, rng):
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    lo, _ = program(bundle.params, frame, embeds, *_opts(strength=0.2))
+    hi, _ = program(bundle.params, frame, embeds, *_opts(strength=0.9))
+    assert np.abs(np.asarray(lo).astype(int) - np.asarray(hi).astype(int)).max() > 0
+
+
+def test_batched_heterogeneous_options(bundle, embeds, rng):
+    """Two streams with different sliders in ONE batch must equal two
+    singleton calls — the core cross-stream batching invariant."""
+    spec2 = FrameSpec(batch=2, height=32, width=32, steps=2)
+    prog2 = build_frame_program(bundle, spec2)
+    prog1 = build_frame_program(bundle, SPEC)
+
+    frames = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    emb2 = jnp.concatenate([embeds, embeds], axis=0)
+    strength = jnp.array([0.6, 0.3], jnp.float32)
+    guidance = jnp.array([5.0, 8.0], jnp.float32)
+    cn = jnp.array([2.0, 0.7], jnp.float32)
+    seed = jnp.array([23, 42], jnp.int32)
+
+    out2, lat2 = prog2(bundle.params, frames, emb2, strength, guidance, cn, seed)
+    for i in range(2):
+        o1, l1 = prog1(
+            bundle.params,
+            frames[i : i + 1],
+            embeds,
+            strength[i : i + 1],
+            guidance[i : i + 1],
+            cn[i : i + 1],
+            seed[i : i + 1],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out2[i]).astype(int), np.asarray(o1[0]).astype(int), atol=2
+        )
+
+
+def test_no_controlnet_variant(rng):
+    b = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=False)
+    spec = FrameSpec(batch=1, height=32, width=32, steps=1, use_controlnet=False)
+    prog = build_frame_program(b, spec)
+    enc = build_prompt_encoder(b)
+    ids = jnp.asarray(b.tokenizer(["x"]), jnp.int32)
+    ctx, _ = enc(b.params, ids)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    out, _ = prog(b.params, frame, ctx, *_opts())
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_kl_vae_variant(rng):
+    b = ModelBundle.random("tiny", dtype=jnp.float32, with_kl_vae=True)
+    spec = FrameSpec(batch=1, height=32, width=32, steps=1, vae="kl")
+    prog = build_frame_program(b, spec)
+    enc = build_prompt_encoder(b)
+    ids = jnp.asarray(b.tokenizer(["x"]), jnp.int32)
+    ctx, _ = enc(b.params, ids)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    out, lat = prog(b.params, frame, ctx, *_opts())
+    assert out.shape == (1, 32, 32, 3)
+    assert lat.shape == (1, 4, 4, 4)
+
+
+def test_camera_shape_crop(bundle, rng, embeds):
+    """Non-square camera input center-crops on device."""
+    spec = FrameSpec(batch=1, height=32, width=32, in_height=48, in_width=96, steps=1)
+    prog = build_frame_program(bundle, spec)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 48, 96, 3), dtype=np.uint8))
+    out, _ = prog(bundle.params, frame, embeds, *_opts())
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_tokenizer_fallback_stable():
+    from videosd_tpu.text.tokenizer import CLIPTokenizer
+
+    tok = CLIPTokenizer(None)
+    a = tok(["a photo of a cat"])
+    b = tok(["a photo of a cat"])
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (1, 77)
+    assert a[0, 0] == tok.BOT
+    assert (a[0] == tok.EOT).any()

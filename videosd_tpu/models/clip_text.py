@@ -128,7 +128,9 @@ def clip_text_apply(params: Params, cfg: CLIPTextConfig, input_ids):
     ``text_encoder(...)[0]``); ``pooled`` is the EOT-token embedding (passed
     through text_projection when configured) for SDXL's added conditioning.
     """
-    x = jnp.take(params["token_embedding"], input_ids, axis=0)
+    # mode="clip": an out-of-vocab id must never produce NaN (jnp.take's
+    # default "fill" mode would) — clamp like torch's Embedding would error
+    x = jnp.take(params["token_embedding"], input_ids, axis=0, mode="clip")
     seq = input_ids.shape[1]
     x = x + params["position_embedding"][:seq][None]
 

@@ -132,7 +132,11 @@ def controlnet_apply(
 
     x = mid_block_apply(params["mid_block"], cfg, x, temb, context)
 
-    scale = jnp.asarray(conditioning_scale, jnp.float32).astype(x.dtype)
+    # scalar or per-batch [B] scale -> broadcastable over NHWC
+    scale = jnp.asarray(conditioning_scale, jnp.float32)
+    scale = jnp.reshape(scale, scale.shape + (1,) * (x.ndim - scale.ndim)).astype(
+        x.dtype
+    )
     out_down = [
         conv2d(zc, r, padding=0) * scale
         for zc, r in zip(params["controlnet_down_blocks"], down_res)

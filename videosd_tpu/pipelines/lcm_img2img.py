@@ -1,0 +1,346 @@
+"""The per-frame LCM img2img (+ControlNet) program — ONE jitted XLA graph.
+
+This is the TPU-native replacement for the reference's per-frame chain
+(diffusert/videopipeline.py:75-128 -> lcm/lcm_controlnet.py:380-618):
+host PIL crop/resize -> GPU canny -> CLIP -> VAE encode -> K-step denoise ->
+decode -> PIL.  Here the entire chain after prompt encoding is a single
+``jax.jit`` program over device-resident uint8 frames:
+
+    preprocess (crop/resize/[0,1]) -> sobel control image -> VAE encode ->
+    add_noise @ first ladder step -> K x (ControlNet + UNet + LCM step) ->
+    VAE decode -> uint8 postprocess
+
+Design points (vs. the reference):
+* ``strength``, ``guidance_scale``, ``controlnet_scale``, ``seed`` are
+  traced PER-BATCH-ELEMENT arrays: concurrent streams with different live
+  settings batch into one program (reference: one Ray actor call per frame).
+* The denoise loop is unrolled over the static step count with per-element
+  validity masks (see schedulers/lcm.py), so per-element strength maps to
+  per-element timestep ladders inside one compiled graph.
+* PRNG is explicit: per-element ``PRNGKey(seed)`` + fold_in(step), giving
+  the reference's per-frame determinism (videopipeline.py:110-126) without
+  global RNG state.
+* steps/resolution/batch are static bucket keys; everything else is traced
+  (no recompiles from slider moves).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from videosd_tpu.models import (
+    CLIP_PRESETS,
+    TAESDConfig,
+    UNET_PRESETS,
+    clip_text_apply,
+    clip_text_init,
+    controlnet_apply,
+    controlnet_init,
+    taesd_decode,
+    taesd_encode,
+    taesd_init,
+    unet_apply,
+    unet_init,
+    vae_decode,
+    vae_encode,
+    vae_init,
+    VAEConfig,
+)
+from videosd_tpu.models.layers import guidance_embedding
+from videosd_tpu.ops import postprocess_image, preprocess_frame, sobel_control_image
+from videosd_tpu.schedulers import (
+    LCMSchedulerConfig,
+    add_noise,
+    make_alphas_cumprod,
+    step,
+    timestep_schedule,
+)
+from videosd_tpu.text.tokenizer import CLIPTokenizer, find_vocab_dir
+
+__all__ = ["FrameSpec", "ModelBundle", "build_frame_program", "build_prompt_encoder"]
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameSpec:
+    """Static compile key for one frame-program bucket."""
+
+    batch: int = 1
+    height: int = 512
+    width: int = 512
+    # camera input shape before center-crop (defaults: already target-sized)
+    in_height: int | None = None
+    in_width: int | None = None
+    steps: int = 4
+    use_controlnet: bool = True
+    vae: str = "taesd"  # taesd | kl
+    # canny thresholds: the reference hardcodes these at the call site
+    # (videopipeline.py:109)
+    canny_low: float = 0.11
+    canny_high: float = 0.8
+    lcm_origin_steps: int = 50
+
+    def resolved_in_shape(self) -> tuple[int, int]:
+        return (self.in_height or self.height, self.in_width or self.width)
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """All params + configs for one model family, device-resident."""
+
+    family: str
+    unet_cfg: Any
+    clip_cfg: Any
+    sched_cfg: LCMSchedulerConfig
+    params: dict  # {"unet","controlnet","vae","taesd","clip"}
+    alphas_cumprod: jax.Array
+    tokenizer: CLIPTokenizer
+    taesd_cfg: TAESDConfig = dataclasses.field(default_factory=TAESDConfig)
+    vae_cfg: VAEConfig = dataclasses.field(default_factory=VAEConfig)
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def random(
+        cls,
+        family: str = "sd15",
+        *,
+        seed: int = 0,
+        dtype=jnp.bfloat16,
+        with_controlnet: bool = True,
+        with_kl_vae: bool = False,
+    ) -> "ModelBundle":
+        """Randomly-initialized bundle (tests / weightless benchmarking).
+
+        Real checkpoints load through videosd_tpu.io.weights when a local
+        HF cache is mounted (zero-egress environments can't download).
+        """
+        unet_cfg = UNET_PRESETS[family]
+        clip_key = {"sd15": "sd15", "sd21": "sd21", "tiny": "tiny"}.get(family, "sd15")
+        clip_cfg = CLIP_PRESETS[clip_key]
+        keys = jax.random.split(jax.random.PRNGKey(seed), 5)
+        if family == "tiny":
+            taesd_cfg = TAESDConfig(hidden=16, blocks_per_stage=1)
+            vae_cfg = VAEConfig(
+                block_out_channels=(8, 16, 16, 16), layers_per_block=1, norm_num_groups=4
+            )
+        else:
+            taesd_cfg = TAESDConfig()
+            vae_cfg = VAEConfig()
+        # jit each init: one compiled program per model instead of thousands
+        # of eager RNG dispatches (matters on remote-dispatch backends)
+        jinit = lambda f, k: jax.jit(f)(k)  # noqa: E731
+        params = {
+            "unet": jinit(lambda k: unet_init(k, unet_cfg, dtype=dtype), keys[0]),
+            "clip": jinit(lambda k: clip_text_init(k, clip_cfg, dtype=dtype), keys[2]),
+            "taesd": jinit(lambda k: taesd_init(k, taesd_cfg, dtype=dtype), keys[3]),
+        }
+        if with_controlnet:
+            params["controlnet"] = jinit(
+                lambda k: controlnet_init(k, unet_cfg, dtype=dtype), keys[1]
+            )
+        if with_kl_vae:
+            params["vae"] = jinit(lambda k: vae_init(k, vae_cfg, dtype=dtype), keys[4])
+        sched_cfg = LCMSchedulerConfig()
+        tok = CLIPTokenizer(find_vocab_dir(), vocab_size=clip_cfg.vocab_size)
+        return cls(
+            family=family,
+            unet_cfg=unet_cfg,
+            clip_cfg=clip_cfg,
+            sched_cfg=sched_cfg,
+            params=params,
+            alphas_cumprod=jnp.asarray(make_alphas_cumprod(sched_cfg)),
+            tokenizer=tok,
+            taesd_cfg=taesd_cfg,
+            vae_cfg=vae_cfg,
+            dtype=dtype,
+        )
+
+    @property
+    def latent_scale(self) -> float:
+        return 1.0  # TAESD scaling_factor; KL path applies vae_cfg.scaling_factor
+
+
+def _encode_latents(bundle_cfgs, params, spec: FrameSpec, img_pm1):
+    taesd_cfg, vae_cfg = bundle_cfgs
+    if spec.vae == "taesd":
+        return taesd_encode(params["taesd"], img_pm1, taesd_cfg)
+    z = vae_encode(params["vae"], img_pm1, vae_cfg)
+    return z * vae_cfg.scaling_factor
+
+
+def _decode_latents(bundle_cfgs, params, spec: FrameSpec, z):
+    taesd_cfg, vae_cfg = bundle_cfgs
+    if spec.vae == "taesd":
+        return taesd_decode(params["taesd"], z, taesd_cfg)
+    return vae_decode(params["vae"], z / vae_cfg.scaling_factor, vae_cfg)
+
+
+def frame_program(
+    params: dict,
+    spec: FrameSpec,
+    unet_cfg,
+    sched_cfg: LCMSchedulerConfig,
+    taesd_cfg: TAESDConfig,
+    vae_cfg: VAEConfig,
+    alphas_cumprod,
+    dtype,
+    frame_u8,
+    prompt_embeds,
+    strength,
+    guidance_scale,
+    controlnet_scale,
+    seed,
+):
+    """The pure frame function (jit via :func:`build_frame_program`).
+
+    frame_u8: [B, Hin, Win, 3] uint8 device-resident camera frames.
+    prompt_embeds: [B, 77, D] pre-encoded text context (prompt caching is
+    the server's job; reference re-encodes per frame, lcm_controlnet.py:449).
+    strength/guidance_scale/controlnet_scale: [B] fp32.  seed: [B] int32.
+
+    Returns (images_u8 [B,H,W,3], denoised_latents [B,h,w,4]) — latents are
+    surfaced for temporal warm-starting.
+    """
+    B, S = spec.batch, spec.steps
+    cfgs = (taesd_cfg, vae_cfg)
+
+    # --- preprocess: crop geometry (videopipeline.py:91-107) + [0,1]
+    img01 = preprocess_frame(frame_u8, spec.height, spec.width, dtype=jnp.float32)
+
+    ctrl = None
+    if spec.use_controlnet:
+        ctrl = sobel_control_image(img01, spec.canny_low, spec.canny_high).astype(dtype)
+
+    img_pm1 = (img01 * 2.0 - 1.0).astype(dtype)
+    latents0 = _encode_latents(cfgs, params, spec, img_pm1)
+
+    # --- per-element timestep ladders
+    ts, valid = jax.vmap(
+        lambda s: timestep_schedule(sched_cfg, S, s, spec.lcm_origin_steps)
+    )(strength)  # [B,S] each
+
+    keys = jax.vmap(jax.random.PRNGKey)(seed)  # [B,2]
+
+    def elem_noise(k, fold):
+        return jax.random.normal(
+            jax.random.fold_in(k, fold), latents0.shape[1:], jnp.float32
+        )
+
+    # --- forward-noise to the first VALID ladder step
+    first_idx = jnp.argmax(valid, axis=1)  # [B]
+    t_first = jnp.take_along_axis(ts, first_idx[:, None], axis=1)[:, 0]
+    noise0 = jax.vmap(lambda k: elem_noise(k, 0))(keys)
+    a0 = jnp.take(alphas_cumprod, t_first)[:, None, None, None]
+    latents = (
+        jnp.sqrt(a0) * latents0.astype(jnp.float32) + jnp.sqrt(1.0 - a0) * noise0
+    ).astype(dtype)
+
+    # --- LCM guidance embedding (lcm_controlnet.py:516-519, dim 256)
+    w_emb = None
+    if unet_cfg.time_cond_proj_dim is not None:
+        w_emb = guidance_embedding(guidance_scale, unet_cfg.time_cond_proj_dim).astype(
+            dtype
+        )
+
+    context = prompt_embeds.astype(dtype)
+    denoised = latents0
+
+    # --- unrolled denoise loop (S static; per-element masks handle shorter
+    # ladders, see schedulers/lcm.py docstring)
+    for s in range(S):
+        t = ts[:, s]
+        t_prev = ts[:, s + 1] if s + 1 < S else t
+
+        down_res = mid_res = None
+        if spec.use_controlnet:
+            down_res, mid_res = controlnet_apply(
+                params["controlnet"],
+                unet_cfg,
+                latents,
+                t,
+                context,
+                ctrl,
+                conditioning_scale=controlnet_scale,
+                timestep_cond=w_emb,
+            )
+
+        eps = unet_apply(
+            params["unet"],
+            unet_cfg,
+            latents,
+            t,
+            context,
+            timestep_cond=w_emb,
+            down_block_additional_residuals=down_res,
+            mid_block_additional_residual=mid_res,
+        )
+
+        step_noise = jax.vmap(lambda k: elem_noise(k, s + 1))(keys) if S > 1 else None
+        new_lat, new_den = step(
+            sched_cfg,
+            alphas_cumprod,
+            eps,
+            t,
+            t_prev,
+            latents,
+            noise=step_noise,
+            multistep=(S > 1),
+        )
+        m = valid[:, s][:, None, None, None]
+        latents = jnp.where(m, new_lat, latents)
+        denoised = jnp.where(m, new_den, denoised)
+
+    out = _decode_latents(cfgs, params, spec, denoised)
+    return postprocess_image(out), denoised
+
+
+def build_frame_program(bundle: ModelBundle, spec: FrameSpec):
+    """jit-compile the frame program for one (bundle, spec) bucket.
+
+    Returns ``f(params, frame_u8, prompt_embeds, strength, guidance,
+    controlnet_scale, seed) -> (images_u8, denoised_latents)``; pass
+    ``bundle.params`` per call (params stay device-resident, the executable
+    is cached by jit).
+    """
+    fn = functools.partial(
+        frame_program,
+        spec=spec,
+        unet_cfg=bundle.unet_cfg,
+        sched_cfg=bundle.sched_cfg,
+        taesd_cfg=bundle.taesd_cfg,
+        vae_cfg=bundle.vae_cfg,
+        dtype=bundle.dtype,
+    )
+
+    def wrapper(params, frame_u8, prompt_embeds, strength, guidance, cn_scale, seed):
+        return fn(
+            params,
+            alphas_cumprod=bundle.alphas_cumprod,
+            frame_u8=frame_u8,
+            prompt_embeds=prompt_embeds,
+            strength=strength,
+            guidance_scale=guidance,
+            controlnet_scale=cn_scale,
+            seed=seed,
+        )
+
+    return jax.jit(wrapper)
+
+
+def build_prompt_encoder(bundle: ModelBundle):
+    """jitted input_ids -> (context [B,77,D], pooled [B,D]).
+
+    The server caches results per prompt string (the reference re-runs CLIP
+    every frame inside the pipeline, lcm_controlnet.py:449-454 — pure waste
+    for a static prompt).
+    """
+
+    @jax.jit
+    def encode(params, input_ids):
+        return clip_text_apply(params["clip"], bundle.clip_cfg, input_ids)
+
+    return encode

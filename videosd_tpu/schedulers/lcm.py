@@ -248,7 +248,12 @@ def step(
     x = jnp.asarray(sample, jnp.float32)
     eps = jnp.asarray(model_output, jnp.float32)
 
-    a_t = _gather_alpha(alphas_cumprod, t)
+    def bcast(v):
+        """scalar or per-batch [B] -> broadcastable against x."""
+        v = jnp.asarray(v, jnp.float32)
+        return jnp.reshape(v, v.shape + (1,) * (x.ndim - v.ndim))
+
+    a_t = bcast(_gather_alpha(alphas_cumprod, t))
     b_t = 1.0 - a_t
 
     if cfg.prediction_type == "epsilon":
@@ -261,10 +266,10 @@ def step(
         raise ValueError(f"unknown prediction_type: {cfg.prediction_type}")
 
     c_skip, c_out = boundary_scalings(cfg, t)
-    denoised = c_out * pred_x0 + c_skip * x
+    denoised = bcast(c_out) * pred_x0 + bcast(c_skip) * x
 
     if multistep:
-        a_prev = _gather_alpha(alphas_cumprod, t_prev)
+        a_prev = bcast(_gather_alpha(alphas_cumprod, t_prev))
         if noise is None:
             if key is None:
                 raise ValueError("multistep step() needs `key` or `noise`")

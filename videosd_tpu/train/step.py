@@ -1,0 +1,88 @@
+"""Training/fine-tuning step for the UNet (noise-prediction objective).
+
+The reference ships no training (all weights from the HF hub,
+SURVEY.md §5 "Checkpoint/resume: none"); this framework adds a first-class
+pjit train step so deployments can fine-tune / LCM-distill on-TPU:
+standard eps-prediction MSE over random timesteps, AdamW, with params
+tensor-sharded per videosd_tpu.parallel.mesh.PARAM_RULES and the batch
+sharded over the ``data`` axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from videosd_tpu.models.unet import UNetConfig, unet_apply
+from videosd_tpu.parallel.mesh import data_sharding, replicated, shard_params
+from videosd_tpu.schedulers import LCMSchedulerConfig, add_noise, make_alphas_cumprod
+
+__all__ = ["make_train_step", "init_train_state"]
+
+
+def init_train_state(params, optimizer):
+    return {"params": params, "opt_state": optimizer.init(params)}
+
+
+def make_train_step(
+    unet_cfg: UNetConfig,
+    sched_cfg: LCMSchedulerConfig,
+    optimizer,
+    mesh=None,
+):
+    """Build the jitted train step.
+
+    step(state, batch, key) -> (state, metrics); batch is a dict with
+    ``latents`` [B,h,w,4], ``context`` [B,S,D], and (when the config uses
+    LCM guidance conditioning) ``w_cond`` [B, time_cond_proj_dim].
+
+    With ``mesh``, the step is jitted with explicit in/out shardings:
+    batch over ("data",), params per PARAM_RULES — XLA inserts the
+    gradient psums over ICI.
+    """
+    alphas = jnp.asarray(make_alphas_cumprod(sched_cfg))
+
+    def loss_fn(params, batch, key):
+        latents = batch["latents"]
+        b = latents.shape[0]
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (b,), 0, sched_cfg.num_train_timesteps)
+        noise = jax.random.normal(kn, latents.shape, jnp.float32)
+        noisy = add_noise(alphas, latents, noise, t)
+        pred = unet_apply(
+            params,
+            unet_cfg,
+            noisy,
+            t,
+            batch["context"],
+            timestep_cond=batch.get("w_cond"),
+        )
+        err = pred.astype(jnp.float32) - noise
+        return jnp.mean(err * err)
+
+    def train_step(state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch, key)
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state}, {"loss": loss}
+
+    if mesh is None:
+        return jax.jit(train_step)
+
+    def shard_batch(batch):
+        return {
+            k: jax.device_put(v, data_sharding(mesh, v.ndim)) for k, v in batch.items()
+        }
+
+    jitted = jax.jit(train_step)
+
+    def sharded_step(state, batch, key):
+        """Shard params with parallel.mesh.shard_params BEFORE
+        init_train_state — optax moment buffers then inherit the param
+        shardings via zeros_like, keeping state sharding congruent."""
+        return jitted(state, shard_batch(batch), jax.device_put(key, replicated(mesh)))
+
+    return sharded_step
