@@ -1,0 +1,141 @@
+"""Runtime tests: framequeue semantics (native + python), engine batching.
+
+Scheduler behavior contract follows the reference:
+latest-frame-wins dropping (server.py:140-143), EMA pacing constants
+(server.py:96,113,134), live option mutation (server.py:194-195).
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from videosd_tpu.runtime.framequeue import FrameQueue, native_available
+from videosd_tpu.runtime.telemetry import EMA, Telemetry
+
+
+@pytest.mark.parametrize("force_py", [True, False])
+def test_framequeue_latest_wins(force_py):
+    if not force_py and not native_available():
+        pytest.skip("no native toolchain")
+    fq = FrameQueue(2, 8, force_python=force_py)
+    a = np.arange(8, dtype=np.uint8)
+    b = a[::-1].copy()
+    fq.put(0, a)
+    id_b = fq.put(0, b)
+    out = np.zeros(8, np.uint8)
+    fid, _ = fq.take(0, out)
+    assert fid == id_b
+    np.testing.assert_array_equal(out, b)
+    assert fq.take(0, out)[0] == 0  # nothing new
+    s = fq.stats()
+    assert s["frames_dropped"] == 1
+
+
+@pytest.mark.parametrize("force_py", [True, False])
+def test_framequeue_per_stream_isolation(force_py):
+    if not force_py and not native_available():
+        pytest.skip("no native toolchain")
+    fq = FrameQueue(3, 4, force_python=force_py)
+    fq.put(1, np.full(4, 7, np.uint8))
+    out = np.zeros(4, np.uint8)
+    assert fq.take(0, out)[0] == 0
+    assert fq.take(1, out)[0] != 0
+    np.testing.assert_array_equal(out, 7)
+
+
+def test_ema_matches_reference_constants():
+    e = EMA()
+    assert e.value == 0.4  # server.py:96 prior
+    e.update(1.0)
+    assert abs(e.value - (0.95 * 0.4 + 0.05 * 1.0)) < 1e-12  # server.py:113
+
+
+@pytest.mark.parametrize("force_py", [True, False])
+def test_pacing_gate(force_py):
+    if not force_py and not native_available():
+        pytest.skip("no native toolchain")
+    fq = FrameQueue(1, 4, force_python=force_py)
+    fq.record_gen(10.0)  # huge gen time
+    fq.mark_gen_start()
+    assert not fq.pacing_ok(sessions=4, executors=1)
+    assert fq.pacing_ok(sessions=0, executors=1)
+
+
+def test_telemetry_snapshot():
+    t = Telemetry()
+    t.record_generation(0.1, batch=2, fill=0.5)
+    snap = t.snapshot()
+    assert snap["frames_out"] == 2 and snap["batches"] == 1
+
+
+# ------------------------------------------------------------------ engine
+
+
+def _mk_engine():
+    import jax.numpy as jnp
+
+    from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+    from videosd_tpu.runtime.engine import Engine
+
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32)
+    return Engine(
+        bundle=bundle, max_streams=4, max_batch=4, deadline_ms=5, frame_hw=(32, 32)
+    )
+
+
+def test_engine_single_stream_end_to_end(rng):
+    async def run():
+        eng = _mk_engine()
+        eng.start()
+        try:
+            st = eng.open_stream({"height": 32, "width": 32, "steps": 1})
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            out = await asyncio.wait_for(
+                eng.submit_frame(st.stream_id, frame), timeout=120
+            )
+            assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+            stats = eng.stats()
+            assert stats["frames_out"] >= 1
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
+
+
+def test_engine_multi_stream_batching(rng):
+    async def run():
+        eng = _mk_engine()
+        eng.start()
+        try:
+            sts = [
+                eng.open_stream({"height": 32, "width": 32, "steps": 1, "prompt": f"p{i}"})
+                for i in range(3)
+            ]
+            frames = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) for _ in sts]
+            outs = await asyncio.wait_for(
+                asyncio.gather(
+                    *[eng.submit_frame(s.stream_id, f) for s, f in zip(sts, frames)]
+                ),
+                timeout=180,
+            )
+            assert all(o.shape == (32, 32, 3) for o in outs)
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
+
+
+def test_engine_option_update_coercion():
+    async def run():
+        eng = _mk_engine()
+        st = eng.open_stream({})
+        eng.update_options(st.stream_id, {"strength": "0.8", "steps": "2"})
+        assert st.options["strength"] == 0.8 and st.options["steps"] == 2
+        st.last_output = np.ones((32, 32, 3), np.uint8)
+        eng.update_options(st.stream_id, {"set_ref": True})
+        np.testing.assert_array_equal(st.ref_frame, st.last_output)
+        assert "set_ref" not in st.options
+        await eng.stop()
+
+    asyncio.run(run())

@@ -1,0 +1,372 @@
+"""Engine: compiled-program cache + async multi-stream micro-batcher.
+
+This replaces the reference's L2+L3 (Ray actor pool + busy-flag scheduler,
+diffusert/server.py:132-137 / videopipeline.py:11): instead of one
+process+model per GPU and per-frame RPC, ONE process drives the chips with
+a bucketed cache of jitted frame programs, and an asyncio batching loop
+that coalesces the freshest frame of every active stream into a single
+padded batch per tick.
+
+Scheduling semantics preserved from the reference:
+* latest-frame-wins per stream (frame dropping == passthrough of the last
+  output, server.py:140-143) via the native FrameQueue mailboxes,
+* generation-time EMA + admission pacing (server.py:96,113,134) — kept as
+  telemetry and used for deadline-based batch cuts,
+* per-stream live options dict mutated by the data channel with no
+  restart (server.py:194-195).
+
+TPU-native additions: fixed batch buckets (1/2/4/8...) to bound compile
+count, deadline-based batch cut (default 10 ms), prompt-embedding cache,
+device-resident params.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from typing import Any
+
+import numpy as np
+
+from videosd_tpu.config import ServerConfig, default_options
+from videosd_tpu.runtime.framequeue import FrameQueue
+from videosd_tpu.runtime.telemetry import Telemetry
+
+__all__ = ["Engine", "StreamState"]
+
+
+class StreamState:
+    """Per-stream mutable state (the reference's VideoSDTrack fields:
+    options dict, ref frame, last output — server.py:86-102)."""
+
+    def __init__(self, stream_id: int, options: dict[str, Any]):
+        self.stream_id = stream_id
+        self.options = dict(default_options())
+        self.options.update(options or {})
+        self.last_output: np.ndarray | None = None
+        self.last_latents = None
+        self.ref_frame: np.ndarray | None = None
+        self.waiters: list[asyncio.Future] = []
+        self.active = True
+
+
+class Engine:
+    def __init__(
+        self,
+        config: ServerConfig | None = None,
+        *,
+        bundle=None,
+        max_streams: int = 16,
+        max_batch: int = 8,
+        deadline_ms: float | None = None,
+        frame_hw: tuple[int, int] = (512, 512),
+    ):
+        self.config = config or ServerConfig()
+        self._bundle = bundle
+        self.max_streams = max_streams
+        self.max_batch = max_batch
+        self.deadline_s = (
+            (deadline_ms if deadline_ms is not None else self.config.batch_deadline_ms)
+            / 1e3
+        )
+        self.frame_hw = frame_hw
+        self.telemetry = Telemetry()
+        self.queue = FrameQueue(max_streams, frame_hw[0] * frame_hw[1] * 3)
+        self.streams: dict[int, StreamState] = {}
+        self._next_stream = 0
+        self._programs: dict[Any, Any] = {}
+        self._prompt_cache: dict[str, Any] = {}
+        self._encoder = None
+        self._loop_task: asyncio.Task | None = None
+        self._stopped = asyncio.Event()
+        self._wake = asyncio.Event()
+
+    # ------------------------------------------------------------ lifecycle
+
+    @property
+    def bundle(self):
+        if self._bundle is None:
+            import jax.numpy as jnp
+
+            from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+
+            family = self.config.family
+            dtype = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+            self._bundle = ModelBundle.random(family, dtype=dtype)
+        return self._bundle
+
+    def start(self):
+        if self._loop_task is None:
+            self._loop_task = asyncio.get_event_loop().create_task(self._batch_loop())
+
+    async def stop(self):
+        self._stopped.set()
+        self._wake.set()
+        if self._loop_task is not None:
+            await self._loop_task
+            self._loop_task = None
+
+    # ------------------------------------------------------------ streams
+
+    def open_stream(self, options: dict[str, Any] | None = None) -> StreamState:
+        sid = self._next_stream
+        self._next_stream += 1
+        if sid >= self.max_streams:
+            raise RuntimeError("max_streams exceeded")
+        st = StreamState(sid, options or {})
+        self.streams[sid] = st
+        return st
+
+    def close_stream(self, sid: int):
+        st = self.streams.pop(sid, None)
+        if st:
+            st.active = False
+            for w in st.waiters:
+                if not w.done():
+                    w.cancel()
+
+    def update_options(self, sid: int, message: dict[str, Any]):
+        """Data-channel option merge with the reference coercion table
+        (server.py:167-197), including the set_ref trigger."""
+        from videosd_tpu.config import coerce_options
+
+        st = self.streams[sid]
+        msg = coerce_options(message)
+        if "set_ref" in msg:
+            if st.last_output is not None:
+                st.ref_frame = st.last_output.copy()
+            msg.pop("set_ref")
+        st.options.update(msg)
+
+    # ------------------------------------------------------------ frames
+
+    async def submit_frame(self, sid: int, frame: np.ndarray) -> np.ndarray:
+        """Submit a camera frame; resolves with the freshest generated
+        output (which may be an older generation if this frame was dropped
+        — output-fps == input-fps decoupling, server.py:140-143)."""
+        st = self.streams[sid]
+        self.telemetry.frames_in += 1
+        frame = self._fit_frame(frame)
+        self.queue.put(sid, frame)
+        self._wake.set()
+        if st.last_output is None:
+            # first frame: black init frame, reference server.py:99,122
+            h, w = int(st.options["height"]), int(st.options["width"])
+            st.last_output = np.zeros((h, w, 3), np.uint8)
+            st.ref_frame = frame
+        fut = asyncio.get_event_loop().create_future()
+        st.waiters.append(fut)
+        try:
+            return await fut
+        except asyncio.CancelledError:
+            return st.last_output
+
+    def _fit_frame(self, frame: np.ndarray) -> np.ndarray:
+        """Mailboxes are fixed-size; pad/crop the camera frame to the
+        mailbox shape (on-device crop handles aspect-ratio correctness)."""
+        h, w = self.frame_hw
+        fh, fw = frame.shape[:2]
+        if (fh, fw) == (h, w):
+            return frame
+        out = np.zeros((h, w, 3), np.uint8)
+        ch, cw = min(h, fh), min(w, fw)
+        out[:ch, :cw] = frame[:ch, :cw, :3]
+        return out
+
+    # ------------------------------------------------------------ programs
+
+    def _get_program(self, spec):
+        prog = self._programs.get(spec)
+        if prog is None:
+            from videosd_tpu.pipelines.lcm_img2img import build_frame_program
+
+            prog = build_frame_program(self.bundle, spec)
+            self._programs[spec] = prog
+        return prog
+
+    def _encode_prompt(self, prompt: str):
+        emb = self._prompt_cache.get(prompt)
+        if emb is None:
+            import jax.numpy as jnp
+
+            from videosd_tpu.pipelines.lcm_img2img import build_prompt_encoder
+
+            if self._encoder is None:
+                self._encoder = build_prompt_encoder(self.bundle)
+            ids = jnp.asarray(self.bundle.tokenizer([prompt]), jnp.int32)
+            emb, _pooled = self._encoder(self.bundle.params, ids)
+            if len(self._prompt_cache) > 256:
+                self._prompt_cache.clear()
+            self._prompt_cache[prompt] = emb
+        return emb
+
+    def warmup(self, batch_sizes=(1,), steps=(4,), height=512, width=512):
+        """Ahead-of-time compile the hot buckets (SURVEY.md §7 "hard parts":
+        compile stalls kill p50)."""
+        from videosd_tpu.pipelines.lcm_img2img import FrameSpec
+
+        ih, iw = self.frame_hw
+        for b in batch_sizes:
+            for s in steps:
+                spec = FrameSpec(
+                    batch=b, height=height, width=width, in_height=ih, in_width=iw,
+                    steps=s,
+                )
+                self._run_bucket_sync(spec, *self._dummy_batch(spec))
+
+    def _dummy_batch(self, spec):
+        import jax.numpy as jnp
+
+        b = spec.batch
+        frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
+        emb = self._encode_prompt("warmup")
+        embeds = jnp.concatenate([emb] * b, axis=0)
+        return (
+            frames,
+            embeds,
+            np.full((b,), 0.6, np.float32),
+            np.full((b,), 5.0, np.float32),
+            np.full((b,), 2.0, np.float32),
+            np.arange(b, dtype=np.int32),
+        )
+
+    def _run_bucket_sync(self, spec, frames, embeds, strength, guidance, cn, seed):
+        import jax
+
+        prog = self._get_program(spec)
+        out, latents = prog(
+            self.bundle.params, frames, embeds, strength, guidance, cn, seed
+        )
+        jax.block_until_ready(out)
+        return np.asarray(out), latents
+
+    # ------------------------------------------------------------ batcher
+
+    @staticmethod
+    def _bucket_batch(n: int, buckets=(1, 2, 4, 8, 16)) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+
+    def _collect_ready(self):
+        """Pull the freshest frame of every stream with pending work."""
+        ready = []
+        for sid, st in list(self.streams.items()):
+            if not st.active or not st.waiters:
+                continue
+            if not self.queue.has_fresh(sid):
+                continue
+            buf = np.empty((*self.frame_hw, 3), np.uint8)
+            fid, ts = self.queue.take(sid, buf)
+            if fid:
+                ready.append((st, buf, ts))
+        return ready
+
+    async def _batch_loop(self):
+        import jax.numpy as jnp
+
+        from videosd_tpu.pipelines.lcm_img2img import FrameSpec
+
+        loop = asyncio.get_event_loop()
+        while not self._stopped.is_set():
+            self._wake.clear()
+            ready = self._collect_ready()
+            if not ready:
+                # resolve waiters of streams whose frame was consumed by a
+                # newer submission (drop semantics): hand back last output
+                for st in self.streams.values():
+                    while st.waiters and not self.queue.has_fresh(st.stream_id):
+                        if len(st.waiters) <= 1:
+                            break
+                        w = st.waiters.pop(0)
+                        if not w.done():
+                            w.set_result(st.last_output)
+                            self.telemetry.frames_dropped += 1
+                try:
+                    await asyncio.wait_for(self._wake.wait(), timeout=0.05)
+                except asyncio.TimeoutError:
+                    pass
+                continue
+
+            # deadline-based extra collection for better batch fill
+            deadline = time.perf_counter() + self.deadline_s
+            while (
+                len(ready) < self.max_batch and time.perf_counter() < deadline
+            ):
+                await asyncio.sleep(0.001)
+                ready.extend(self._collect_ready())
+
+            # group by shape bucket (steps, h, w)
+            groups: dict[Any, list] = {}
+            for st, buf, ts in ready:
+                key = (
+                    int(st.options["steps"]),
+                    int(st.options["height"]),
+                    int(st.options["width"]),
+                )
+                groups.setdefault(key, []).append((st, buf, ts))
+
+            for (steps, h, w), items in groups.items():
+                b = self._bucket_batch(len(items))
+                spec = FrameSpec(
+                    batch=b,
+                    height=h,
+                    width=w,
+                    in_height=self.frame_hw[0],
+                    in_width=self.frame_hw[1],
+                    steps=steps,
+                )
+                frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
+                strength = np.full((b,), 0.6, np.float32)
+                guidance = np.full((b,), 5.0, np.float32)
+                cn = np.full((b,), 2.0, np.float32)
+                seed = np.zeros((b,), np.int32)
+                emb_list = []
+                for i, (st, buf, ts) in enumerate(items):
+                    frames[i] = buf
+                    strength[i] = float(st.options["strength"])
+                    guidance[i] = float(st.options["guidance_scale"])
+                    cn[i] = float(st.options["controlnet_scale"])
+                    seed[i] = int(st.options["seed"])
+                    emb_list.append(self._encode_prompt(str(st.options["prompt"])))
+                pad_emb = emb_list[-1]
+                emb_list.extend([pad_emb] * (b - len(items)))
+                embeds = jnp.concatenate(emb_list, axis=0)
+
+                self.queue.mark_gen_start()
+                t0 = time.perf_counter()
+                out, latents = await loop.run_in_executor(
+                    None,
+                    self._run_bucket_sync,
+                    spec,
+                    frames,
+                    embeds,
+                    strength,
+                    guidance,
+                    cn,
+                    seed,
+                )
+                dt = time.perf_counter() - t0
+                self.queue.record_gen(dt)
+                self.telemetry.record_generation(
+                    dt, batch=len(items), fill=len(items) / b
+                )
+
+                for i, (st, _buf, _ts) in enumerate(items):
+                    st.last_output = out[i]
+                    if st.options.get("ref"):
+                        st.ref_frame = out[i]
+                    while st.waiters:
+                        wtr = st.waiters.pop(0)
+                        if not wtr.done():
+                            wtr.set_result(out[i])
+
+    # ------------------------------------------------------------ stats
+
+    def stats(self) -> dict:
+        s = self.telemetry.snapshot()
+        s.update(self.queue.stats())
+        s["streams"] = len(self.streams)
+        s["programs_compiled"] = len(self._programs)
+        return s

@@ -1,0 +1,96 @@
+"""Telemetry: generation-time EMA, per-stage timers, profiler hooks.
+
+Extends the reference's single observable metric — the 0.95/0.05
+"Average gentime" EMA printed with ``\\r`` (diffusert/server.py:113-114) and
+the 5-second watchdog stats print (server.py:344-349) — with per-stage
+(preprocess/denoise/decode/total) timers and optional ``jax.profiler``
+trace capture, per SURVEY.md §5's tracing recommendations.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import sys
+import time
+
+__all__ = ["EMA", "StageTimers", "Telemetry"]
+
+
+class EMA:
+    """Exponential moving average, reference constants (0.95 old / 0.05 new,
+    initial prior 0.4 s — server.py:96,113)."""
+
+    def __init__(self, initial: float = 0.4, decay: float = 0.95):
+        self.value = initial
+        self.decay = decay
+        self.count = 0
+
+    def update(self, sample: float) -> float:
+        self.value = self.decay * self.value + (1.0 - self.decay) * sample
+        self.count += 1
+        return self.value
+
+
+class StageTimers:
+    def __init__(self):
+        self.emas: dict[str, EMA] = {}
+
+    @contextlib.contextmanager
+    def time(self, stage: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.emas.setdefault(stage, EMA(0.0)).update(time.perf_counter() - t0)
+
+    def snapshot(self) -> dict[str, float]:
+        return {k: v.value for k, v in self.emas.items()}
+
+
+class Telemetry:
+    """Process-wide metrics registry + optional jax.profiler tracing."""
+
+    def __init__(self):
+        self.gen_time = EMA()
+        self.stages = StageTimers()
+        self.frames_in = 0
+        self.frames_out = 0
+        self.frames_dropped = 0
+        self.batches = 0
+        self.batch_fill = EMA(1.0)
+        self._trace_dir: str | None = None
+
+    def record_generation(self, seconds: float, batch: int = 1, fill: float = 1.0):
+        self.gen_time.update(seconds)
+        self.frames_out += batch
+        self.batches += 1
+        self.batch_fill.update(fill)
+
+    def print_gentime(self):
+        """Reference-style live EMA line (server.py:114)."""
+        sys.stdout.write("\rAverage gentime %f" % self.gen_time.value)
+        sys.stdout.flush()
+
+    def snapshot(self) -> dict:
+        return {
+            "avg_gen_time_s": self.gen_time.value,
+            "frames_in": self.frames_in,
+            "frames_out": self.frames_out,
+            "frames_dropped": self.frames_dropped,
+            "batches": self.batches,
+            "avg_batch_fill": self.batch_fill.value,
+            "stages": self.stages.snapshot(),
+        }
+
+    def start_trace(self, log_dir: str):
+        import jax
+
+        jax.profiler.start_trace(log_dir)
+        self._trace_dir = log_dir
+
+    def stop_trace(self):
+        if self._trace_dir is not None:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._trace_dir = None
