@@ -1,0 +1,199 @@
+"""Server + sidecar integration tests (aiohttp test utilities).
+
+Covers the /offer schema gate, the /ws transport end-to-end against a tiny
+engine, the data-channel option protocol, watchdog-safe shutdown, and the
+promptgen langserve wire format — the integration tier SURVEY.md §4 calls
+for (the reference itself ships zero tests).
+"""
+
+import asyncio
+import json
+import struct
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from videosd_tpu.config import ServerConfig
+
+
+def _tiny_engine():
+    import jax.numpy as jnp
+
+    from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+    from videosd_tpu.runtime.engine import Engine
+
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32)
+    return Engine(
+        ServerConfig(),
+        bundle=bundle,
+        max_streams=4,
+        max_batch=2,
+        deadline_ms=5,
+        frame_hw=(32, 32),
+    )
+
+
+async def _make_client():
+    from videosd_tpu.server.app import create_app
+
+    app = create_app(ServerConfig(), engine=_tiny_engine())
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    return client
+
+
+def test_healthz_and_stats():
+    async def run():
+        client = await _make_client()
+        try:
+            r = await client.get("/healthz")
+            assert r.status == 200 and (await r.json())["ok"]
+            r = await client.get("/stats")
+            stats = await r.json()
+            assert "frames_in" in stats and "avg_gen_time_s" in stats
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+def test_cors_headers():
+    async def run():
+        client = await _make_client()
+        try:
+            r = await client.get("/healthz")
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+            r = await client.options("/healthz")
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+def test_offer_schema_without_aiortc():
+    """POST /offer must keep the {sdp,type,options} request schema; without
+    aiortc it answers 501 with a pointer to /ws."""
+    from videosd_tpu.server.app import HAVE_AIORTC
+
+    async def run():
+        client = await _make_client()
+        try:
+            r = await client.post(
+                "/offer", json={"sdp": "v=0", "type": "offer", "options": {}}
+            )
+            if HAVE_AIORTC:
+                assert r.status in (200, 500)
+            else:
+                assert r.status == 501
+                assert "ws" in (await r.json())["error"]
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+def test_ws_frame_roundtrip(rng):
+    async def run():
+        client = await _make_client()
+        try:
+            ws = await client.ws_connect("/ws")
+            await ws.send_str(
+                json.dumps(
+                    {
+                        "type": "init",
+                        "options": {"height": 32, "width": 32, "steps": 1},
+                    }
+                )
+            )
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            await ws.send_bytes(struct.pack("<HH", 32, 32) + frame.tobytes())
+            msg = await asyncio.wait_for(ws.receive(), timeout=180)
+            assert msg.type.name == "BINARY"
+            h, w = struct.unpack("<HH", msg.data[:4])
+            out = np.frombuffer(msg.data[4:], np.uint8).reshape(h, w, 3)
+            assert out.shape == (32, 32, 3)
+
+            # live option update mid-stream (reference data channel protocol)
+            await ws.send_str(json.dumps({"type": "prompt", "strength": "0.9"}))
+            await ws.send_str(json.dumps({"type": "stats"}))
+            smsg = await asyncio.wait_for(ws.receive_json(), timeout=30)
+            assert smsg["type"] == "stats"
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+def test_ws_bad_frame_size():
+    async def run():
+        client = await _make_client()
+        try:
+            ws = await client.ws_connect("/ws")
+            await ws.send_bytes(struct.pack("<HH", 32, 32) + b"\x00" * 10)
+            msg = await asyncio.wait_for(ws.receive_json(), timeout=30)
+            assert msg["type"] == "error"
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+# ------------------------------------------------------------- promptgen
+
+
+def test_promptgen_invoke_wire_format():
+    from videosd_tpu.promptgen.app import create_app as mk_pg
+
+    async def run():
+        client = TestClient(TestServer(mk_pg()))
+        await client.start_server()
+        try:
+            r = await client.post(
+                "/llama-chat/invoke", json={"input": {"text": "a red fox"}}
+            )
+            assert r.status == 200
+            body = await r.json()
+            assert "output" in body and "a red fox" in body["output"]["text"]
+            # deterministic per subject
+            r2 = await client.post(
+                "/llama-chat/invoke", json={"input": {"text": "a red fox"}}
+            )
+            assert (await r2.json())["output"] == body["output"]
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+def test_promptgen_template_backend_styles():
+    from videosd_tpu.promptgen.app import TemplateBackend
+
+    b = TemplateBackend()
+    out1 = b.generate("a castle")
+    out2 = b.generate("a castle", seed=1)
+    out3 = b.generate("a castle", seed=2)
+    assert out1.startswith("a castle, ")
+    assert out2 != out3  # seeds vary the style
+
+
+def test_stt_session_wav_rendering():
+    from videosd_tpu.server.stt import STTSession
+
+    s = STTSession(whisper_url="http://localhost:1/asr")
+    s.start()
+    assert s.recording
+    s.add_frame(np.zeros((2, 480), np.int16), sample_rate=48000)
+    s.add_frame(np.ones(480, np.float32) * 0.5, sample_rate=48000)
+    wav = s._render_wav()
+    assert wav[:4] == b"RIFF"
+
+    async def run():
+        text = await s.stop_and_transcribe()
+        assert text.startswith("[stt unavailable")
+        assert not s.recording
+
+    asyncio.run(run())

@@ -1,0 +1,253 @@
+"""Session/API server — the reference's L4 surface, TPU-backed.
+
+Keeps the reference's public API (diffusert/server.py):
+* ``POST /offer``  — WebRTC SDP negotiation `{sdp, type, options}` ->
+  `{sdp, type}` (server.py:145-264).  Gated on aiortc being installed;
+  the rest of the server (engine, batching, data-channel protocol) is
+  transport-independent.
+* data channels ``"prompt"`` (live option JSON merges with the coercion
+  table of server.py:171-187) and ``"record"`` (STT start/stop —
+  implemented *working*; the reference's stop handler is a dead generator,
+  server.py:207, SURVEY.md §3.6).
+* CLI flags --host/--port/--cert-file/--key-file/-v (server.py:280-292),
+  config.yaml (server.py:273), CORS-open responses (server.py:307-313),
+  5-second watchdog (server.py:323-349).
+
+TPU-native additions:
+* ``/ws`` — a WebSocket frame transport speaking the same options/prompt
+  protocol (binary RGB frames in, binary JPEG/RGB frames out) so the
+  full stack runs and tests without a WebRTC stack.
+* ``/stats`` — engine/batcher/telemetry snapshot (the reference only has
+  stdout prints).
+* ``/healthz`` — liveness.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import ssl
+import struct
+from typing import Any
+
+import numpy as np
+from aiohttp import WSMsgType, web
+
+from videosd_tpu.config import ServerConfig, load_config
+from videosd_tpu.runtime.engine import Engine
+
+logger = logging.getLogger("videosd_tpu.server")
+
+try:  # aiortc is optional in this image; the WebRTC path gates on it
+    import aiortc  # noqa: F401
+
+    HAVE_AIORTC = True
+except Exception:  # pragma: no cover
+    HAVE_AIORTC = False
+
+__all__ = ["create_app", "main", "HAVE_AIORTC"]
+
+
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    """CORS-open responses (reference uses aiohttp_cors with *,
+    server.py:307-313)."""
+    if request.method == "OPTIONS":
+        resp = web.Response()
+    else:
+        resp = await handler(request)
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Headers"] = "*"
+    resp.headers["Access-Control-Allow-Methods"] = "*"
+    resp.headers["Access-Control-Allow-Credentials"] = "true"
+    return resp
+
+
+async def watchdog(app: web.Application):
+    """5-second loop: session stats + stale-state recovery
+    (reference server.py:323-349; its 'generating' flag reset maps to
+    closing orphaned engine streams)."""
+    engine: Engine = app["engine"]
+    try:
+        while True:
+            sessions = len(app["sessions"])
+            if sessions == 0:
+                for sid in list(engine.streams):
+                    engine.close_stream(sid)
+            stats = engine.stats()
+            logger.info(
+                "watchdog: sessions=%d streams=%d ema=%.3fs dropped=%d",
+                sessions,
+                stats["streams"],
+                stats["ema_gen_time"],
+                stats["frames_dropped"],
+            )
+            await asyncio.sleep(5)
+    except asyncio.CancelledError:
+        pass
+
+
+# ----------------------------------------------------------------- handlers
+
+
+async def offer(request: web.Request) -> web.Response:
+    """WebRTC signaling endpoint (same schema as server.py:145-264)."""
+    if not HAVE_AIORTC:
+        return web.json_response(
+            {
+                "error": "aiortc is not installed on this deployment; "
+                "use the /ws transport"
+            },
+            status=501,
+        )
+    from videosd_tpu.server.webrtc import handle_offer
+
+    params = await request.json()
+    answer = await handle_offer(request.app, params)
+    return web.json_response(answer)
+
+
+def _parse_ws_options(raw: dict[str, Any]) -> dict[str, Any]:
+    from videosd_tpu.config import coerce_options
+
+    return coerce_options(raw)
+
+
+async def ws_handler(request: web.Request) -> web.WebSocketResponse:
+    """WebSocket transport.
+
+    Protocol:
+      client -> text JSON {"type":"init","options":{...}}
+      client -> text JSON {"type":"prompt", ...changed keys...}   (same as
+                the "prompt" data channel, server.py:166-197)
+      client -> binary: u16 height, u16 width, raw RGB24 frame
+      server -> binary: u16 height, u16 width, raw RGB24 diffused frame
+      client -> text JSON {"type":"record","action":"start"|"stop"}
+      server -> text JSON {"type":"transcript","text":...}
+    """
+    ws = web.WebSocketResponse(max_msg_size=64 * 1024 * 1024)
+    await ws.prepare(request)
+    app = request.app
+    engine: Engine = app["engine"]
+    stream = None
+    app["sessions"].add(ws)
+    stt = None
+    try:
+        async for msg in ws:
+            if msg.type == WSMsgType.TEXT:
+                data = json.loads(msg.data)
+                mtype = data.pop("type", "prompt")
+                if mtype == "init":
+                    stream = engine.open_stream(
+                        _parse_ws_options(data.get("options", {}))
+                    )
+                elif mtype == "prompt":
+                    if stream is not None:
+                        engine.update_options(stream.stream_id, data)
+                elif mtype == "record":
+                    from videosd_tpu.server.stt import STTSession
+
+                    if stt is None:
+                        stt = STTSession()
+                    if data.get("action") == "start":
+                        stt.start()
+                    elif data.get("action") == "stop":
+                        text = await stt.stop_and_transcribe()
+                        await ws.send_json({"type": "transcript", "text": text})
+                elif mtype == "stats":
+                    await ws.send_json({"type": "stats", "stats": engine.stats()})
+            elif msg.type == WSMsgType.BINARY:
+                if stream is None:
+                    stream = engine.open_stream({})
+                h, w = struct.unpack("<HH", msg.data[:4])
+                frame = np.frombuffer(msg.data[4:], np.uint8)
+                if frame.size != h * w * 3:
+                    await ws.send_json({"type": "error", "error": "bad frame size"})
+                    continue
+                frame = frame.reshape(h, w, 3)
+                if stt is not None and stt.recording:
+                    pass  # audio runs on a separate message kind if needed
+                out = await engine.submit_frame(stream.stream_id, frame)
+                oh, ow = out.shape[:2]
+                await ws.send_bytes(struct.pack("<HH", oh, ow) + out.tobytes())
+            elif msg.type == WSMsgType.ERROR:
+                break
+    finally:
+        app["sessions"].discard(ws)
+        if stream is not None:
+            engine.close_stream(stream.stream_id)
+    return ws
+
+
+async def stats_handler(request: web.Request) -> web.Response:
+    return web.json_response(request.app["engine"].stats())
+
+
+async def healthz(request: web.Request) -> web.Response:
+    return web.json_response({"ok": True})
+
+
+# ----------------------------------------------------------------- app
+
+
+async def _on_startup(app: web.Application):
+    app["engine"].start()
+    app["watchdog_task"] = asyncio.get_event_loop().create_task(watchdog(app))
+
+
+async def _on_shutdown(app: web.Application):
+    # close peer connections + engine (reference on_shutdown, server.py:266-270)
+    app["watchdog_task"].cancel()
+    for closer in list(app.get("pc_closers", [])):
+        await closer()
+    await app["engine"].stop()
+
+
+def create_app(config: ServerConfig | None = None, *, engine: Engine | None = None):
+    app = web.Application(middlewares=[cors_middleware])
+    cfg = config or ServerConfig()
+    app["config"] = cfg
+    app["engine"] = engine or Engine(cfg)
+    app["sessions"] = set()
+    app["pc_closers"] = []
+    app.router.add_post("/offer", offer)
+    app.router.add_get("/ws", ws_handler)
+    app.router.add_get("/stats", stats_handler)
+    app.router.add_get("/healthz", healthz)
+    app.on_startup.append(_on_startup)
+    app.on_shutdown.append(_on_shutdown)
+    return app
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="videosd_tpu WebRTC/WS server")
+    parser.add_argument("--cert-file", help="SSL certificate file (for HTTPS)")
+    parser.add_argument("--key-file", help="SSL key file (for HTTPS)")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--config", default="config.yaml")
+    parser.add_argument("--verbose", "-v", action="count")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO)
+
+    try:
+        cfg = load_config(args.config)
+    except FileNotFoundError:
+        cfg = ServerConfig()
+
+    ssl_context = None
+    if args.cert_file:
+        ssl_context = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_context.load_cert_chain(args.cert_file, args.key_file)
+
+    app = create_app(cfg)
+    web.run_app(
+        app, access_log=None, host=args.host, port=args.port, ssl_context=ssl_context
+    )
+
+
+if __name__ == "__main__":
+    main()
