@@ -1,0 +1,83 @@
+"""Reference-attention pipeline tests (tiny family).
+
+Behavior contract from lcm_reference_pipeline.py: banked self-attention
+K/V + AdaIN stat matching from a noised reference image; ref image must
+influence the output; determinism preserved.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videosd_tpu.pipelines.lcm_img2img import (
+    FrameSpec,
+    ModelBundle,
+    build_prompt_encoder,
+)
+from videosd_tpu.pipelines.reference_attn import AdainBank, build_reference_program
+
+SPEC = FrameSpec(batch=1, height=32, width=32, steps=2, use_controlnet=False)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=False)
+
+
+@pytest.fixture(scope="module")
+def embeds(bundle):
+    enc = build_prompt_encoder(bundle)
+    ids = jnp.asarray(bundle.tokenizer(["style"]), jnp.int32)
+    return enc(bundle.params, ids)[0]
+
+
+def _opts(sf=1.0):
+    return (
+        jnp.array([0.6], jnp.float32),
+        jnp.array([5.0], jnp.float32),
+        jnp.array([sf], jnp.float32),
+        jnp.array([23], jnp.int32),
+    )
+
+
+def test_adain_bank_write_read_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 8)), jnp.float32)
+    w = AdainBank("write")
+    assert np.asarray(w(x)).shape == x.shape
+    assert len(w.stats) == 1
+    # reading own stats with fidelity 1 is identity (same distribution)
+    r = AdainBank("read", stats=w.stats, fidelity=1.0)
+    np.testing.assert_allclose(np.asarray(r(x)), np.asarray(x), atol=1e-5)
+    # reading different stats shifts the activation statistics
+    y = jnp.asarray(rng.standard_normal((1, 4, 4, 8)) * 3 + 2, jnp.float32)
+    w2 = AdainBank("write")
+    w2(y)
+    r2 = AdainBank("read", stats=w2.stats, fidelity=1.0)
+    out = np.asarray(r2(x))
+    np.testing.assert_allclose(
+        out.mean(axis=(1, 2)), np.asarray(y).mean(axis=(1, 2)), atol=1e-4
+    )
+
+
+def test_reference_program_end_to_end(bundle, embeds, rng):
+    prog = build_reference_program(bundle, SPEC)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    ref = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    out, lat = prog(bundle.params, frame, ref, embeds, *_opts())
+    assert out.shape == (1, 32, 32, 3) and out.dtype == jnp.uint8
+    assert np.isfinite(np.asarray(lat)).all()
+
+    # determinism
+    out2, _ = prog(bundle.params, frame, ref, embeds, *_opts())
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_reference_image_influences_output(bundle, embeds, rng):
+    prog = build_reference_program(bundle, SPEC)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    ref_a = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    ref_b = jnp.asarray(np.full((1, 32, 32, 3), 255, np.uint8))
+    out_a, _ = prog(bundle.params, frame, ref_a, embeds, *_opts())
+    out_b, _ = prog(bundle.params, frame, ref_b, embeds, *_opts())
+    assert np.abs(np.asarray(out_a).astype(int) - np.asarray(out_b).astype(int)).max() > 0

@@ -39,7 +39,27 @@ from videosd_tpu.models.layers import (
     upsample_nearest2d,
 )
 
-__all__ = ["UNetConfig", "unet_init", "unet_apply", "UNET_PRESETS"]
+__all__ = ["UNetConfig", "unet_init", "unet_apply", "UNET_PRESETS", "BankReader"]
+
+
+class BankReader:
+    """Sequential reader over a flat attention bank.
+
+    The WRITE pass appends one entry per self-attention call site in
+    traversal order (``bank_out``); the READ pass must consume them in the
+    same order regardless of which block it is in — this thin cursor keeps
+    that pairing explicit (the functional analog of the reference's
+    per-module ``self.bank`` attributes, lcm_reference_pipeline.py:551-560).
+    """
+
+    def __init__(self, entries):
+        self.entries = list(entries)
+        self._i = 0
+
+    def next(self):
+        e = self.entries[self._i]
+        self._i += 1
+        return e
 
 
 @dataclasses.dataclass(frozen=True)
@@ -239,10 +259,10 @@ def transformer2d_apply(
     else:
         h = conv2d(p["proj_in"], h, padding=0)
         h = h.reshape(b, hh * ww, c)
-    for i, blk in enumerate(p["transformer_blocks"]):
+    for blk in p["transformer_blocks"]:
         if bank_out is not None:
             bank_out.append(layer_norm(blk["norm1"], h))
-        self_kv = bank[i] if bank is not None else None
+        self_kv = bank.next() if bank is not None else None
         h = transformer_block_apply(blk, cfg, h, context, num_heads=heads, self_kv=self_kv)
     if cfg.use_linear_projection:
         h = linear(p["proj_out"], h)
@@ -275,7 +295,16 @@ def down_block_init(
 
 
 def down_block_apply(
-    p: Params, cfg: UNetConfig, idx: int, x, temb, context, *, bank=None, bank_out=None
+    p: Params,
+    cfg: UNetConfig,
+    idx: int,
+    x,
+    temb,
+    context,
+    *,
+    bank=None,
+    bank_out=None,
+    adain=None,
 ):
     res_samples = []
     for i, rn in enumerate(p["resnets"]):
@@ -284,6 +313,8 @@ def down_block_apply(
             x = transformer2d_apply(
                 p["attentions"][i], cfg, x, context, bank=bank, bank_out=bank_out
             )
+        if adain is not None:
+            x = adain(x)
         res_samples.append(x)
     if "downsamplers" in p:
         x = conv2d(p["downsamplers"][0]["conv"], x, stride=2, padding=[(1, 1), (1, 1)])
@@ -301,10 +332,14 @@ def mid_block_init(key, cfg: UNetConfig) -> Params:
     }
 
 
-def mid_block_apply(p: Params, cfg: UNetConfig, x, temb, context, *, bank=None, bank_out=None):
+def mid_block_apply(
+    p: Params, cfg: UNetConfig, x, temb, context, *, bank=None, bank_out=None, adain=None
+):
     x = resnet_apply(p["resnets"][0], cfg, x, temb)
     x = transformer2d_apply(p["attentions"][0], cfg, x, context, bank=bank, bank_out=bank_out)
     x = resnet_apply(p["resnets"][1], cfg, x, temb)
+    if adain is not None:
+        x = adain(x)
     return x
 
 
@@ -332,7 +367,17 @@ def up_block_init(
 
 
 def up_block_apply(
-    p: Params, cfg: UNetConfig, idx: int, x, res_samples, temb, context, *, bank=None, bank_out=None
+    p: Params,
+    cfg: UNetConfig,
+    idx: int,
+    x,
+    res_samples,
+    temb,
+    context,
+    *,
+    bank=None,
+    bank_out=None,
+    adain=None,
 ):
     for i, rn in enumerate(p["resnets"]):
         res = res_samples.pop()
@@ -342,6 +387,8 @@ def up_block_apply(
             x = transformer2d_apply(
                 p["attentions"][i], cfg, x, context, bank=bank, bank_out=bank_out
             )
+        if adain is not None:
+            x = adain(x)
     if "upsamplers" in p:
         x = upsample_nearest2d(x)
         x = conv2d(p["upsamplers"][0]["conv"], x)
@@ -454,6 +501,7 @@ def unet_apply(
     mid_block_additional_residual=None,
     bank=None,
     bank_out=None,
+    adain=None,
 ):
     """UNet forward.
 
@@ -477,11 +525,13 @@ def unet_apply(
     down_res: list = [x]
     for i, blk in enumerate(params["down_blocks"]):
         x, res = down_block_apply(
-            blk, cfg, i, x, temb, context, bank=bank, bank_out=bank_out
+            blk, cfg, i, x, temb, context, bank=bank, bank_out=bank_out, adain=adain
         )
         down_res.extend(res)
 
-    x = mid_block_apply(params["mid_block"], cfg, x, temb, context, bank=bank, bank_out=bank_out)
+    x = mid_block_apply(
+        params["mid_block"], cfg, x, temb, context, bank=bank, bank_out=bank_out, adain=adain
+    )
 
     if down_block_additional_residuals is not None:
         down_res = [
@@ -496,7 +546,7 @@ def unet_apply(
         res_samples = down_res[-n:]
         down_res = down_res[:-n]
         x = up_block_apply(
-            blk, cfg, i, x, res_samples, temb, context, bank=bank, bank_out=bank_out
+            blk, cfg, i, x, res_samples, temb, context, bank=bank, bank_out=bank_out, adain=adain
         )
 
     x = silu(group_norm(params["conv_norm_out"], x, groups=cfg.norm_num_groups))
