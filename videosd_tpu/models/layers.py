@@ -145,13 +145,35 @@ def layer_norm(params: Params, x, *, eps: float = 1e-5):
 # ---------------------------------------------------------------- attention
 
 
+def _default_attn_impl() -> str:
+    import os
+
+    impl = os.environ.get("VIDEOSD_ATTN_IMPL", "")
+    if impl in ("xla", "pallas"):
+        return impl
+    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+
+
 def attention(q, k, v, *, num_heads: int, mask=None, impl: str = "auto"):
     """Multi-head scaled-dot-product attention on [B, S, D] tensors.
 
-    fp32 softmax; optionally routed to the Pallas flash kernel on TPU for
-    long self-attention sequences (impl="pallas"), else XLA einsum
-    (short cross-attention K/V of 77 tokens gains nothing from flash).
+    fp32 softmax.  impl="auto" routes unmasked lane-aligned self-attention
+    to the Pallas flash kernel on TPU (A/B-benchmarked faster at every
+    UNet sequence length >=256); cross-attention over the 77-token text
+    context and CPU runs use the XLA einsum path.  Override with
+    VIDEOSD_ATTN_IMPL=xla|pallas.
     """
+    if impl == "auto":
+        if (
+            mask is None
+            and q.shape[1] == k.shape[1]
+            and q.shape[1] >= 256
+            and q.shape[1] % 128 == 0
+            and _default_attn_impl() == "pallas"
+        ):
+            impl = "pallas"
+        else:
+            impl = "xla"
     if impl == "pallas":
         from videosd_tpu.ops.pallas.flash_attention import flash_attention
 

@@ -216,6 +216,25 @@ def create_app(config: ServerConfig | None = None, *, engine: Engine | None = No
     app.router.add_get("/ws", ws_handler)
     app.router.add_get("/stats", stats_handler)
     app.router.add_get("/healthz", healthz)
+
+    # serve the bundled static client at / when present (production deploys
+    # put nginx in front instead, like the reference's frontend container)
+    import os
+
+    client_dir = os.path.join(os.path.dirname(__file__), "..", "..", "client")
+    client_dir = os.path.abspath(client_dir)
+    if os.path.isdir(client_dir):
+
+        async def index(_req):
+            return web.FileResponse(os.path.join(client_dir, "index.html"))
+
+        app.router.add_get("/", index)
+        app.router.add_static("/client", client_dir)
+
+        async def appjs(_req):
+            return web.FileResponse(os.path.join(client_dir, "app.js"))
+
+        app.router.add_get("/app.js", appjs)
     app.on_startup.append(_on_startup)
     app.on_shutdown.append(_on_shutdown)
     return app
