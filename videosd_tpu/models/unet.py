@@ -125,6 +125,21 @@ UNET_PRESETS: dict[str, UNetConfig] = {
         addition_time_embed_dim=256,
         projection_class_embeddings_input_dim=2816,
     ),
+    # tiny SDXL-topology config (text_time micro-conditioning) for tests
+    "tiny-xl": UNetConfig(
+        block_out_channels=(32, 64),
+        attn_down=(False, True),
+        layers_per_block=1,
+        transformer_depth=(0, 2),
+        attention_head_dim=16,
+        head_dim_is_num_heads=False,
+        cross_attention_dim=64,
+        norm_num_groups=8,
+        use_linear_projection=True,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=32 + 6 * 8,
+    ),
     # tiny config for unit tests / CPU-mesh dryruns
     "tiny": UNetConfig(
         block_out_channels=(32, 64),

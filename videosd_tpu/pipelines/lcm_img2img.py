@@ -101,6 +101,7 @@ class ModelBundle:
     tokenizer: CLIPTokenizer
     taesd_cfg: TAESDConfig = dataclasses.field(default_factory=TAESDConfig)
     vae_cfg: VAEConfig = dataclasses.field(default_factory=VAEConfig)
+    clip2_cfg: Any = None  # second text tower (SDXL family)
     dtype: Any = jnp.bfloat16
 
     @classmethod
@@ -119,9 +120,15 @@ class ModelBundle:
         HF cache is mounted (zero-egress environments can't download).
         """
         unet_cfg = UNET_PRESETS[family]
-        clip_key = {"sd15": "sd15", "sd21": "sd21", "tiny": "tiny"}.get(family, "sd15")
+        clip_key = {
+            "sd15": "sd15",
+            "sd21": "sd21",
+            "sdxl": "sdxl-1",
+            "tiny": "tiny",
+            "tiny-xl": "tiny",
+        }.get(family, "sd15")
         clip_cfg = CLIP_PRESETS[clip_key]
-        keys = jax.random.split(jax.random.PRNGKey(seed), 5)
+        keys = jax.random.split(jax.random.PRNGKey(seed), 6)
         if family == "tiny":
             taesd_cfg = TAESDConfig(hidden=16, blocks_per_stage=1)
             vae_cfg = VAEConfig(
@@ -144,6 +151,15 @@ class ModelBundle:
             )
         if with_kl_vae:
             params["vae"] = jinit(lambda k: vae_init(k, vae_cfg, dtype=dtype), keys[4])
+        clip2_cfg = None
+        if unet_cfg.addition_embed_type == "text_time":
+            # SDXL-family: two text towers — context = concat(768, 1280)
+            # -> 2048; pooled output comes from tower 2's projection head.
+            # (tiny-xl reuses the tiny tower for both in tests.)
+            clip2_cfg = CLIP_PRESETS["sdxl-2" if family == "sdxl" else "tiny"]
+            params["clip2"] = jinit(
+                lambda k: clip_text_init(k, clip2_cfg, dtype=dtype), keys[5]
+            )
         sched_cfg = LCMSchedulerConfig()
         tok = CLIPTokenizer(find_vocab_dir(), vocab_size=clip_cfg.vocab_size)
         return cls(
@@ -156,6 +172,7 @@ class ModelBundle:
             tokenizer=tok,
             taesd_cfg=taesd_cfg,
             vae_cfg=vae_cfg,
+            clip2_cfg=clip2_cfg,
             dtype=dtype,
         )
 
@@ -194,6 +211,9 @@ def frame_program(
     guidance_scale,
     controlnet_scale,
     seed,
+    warm_latents=None,
+    warm_alpha=None,
+    pooled_embeds=None,
 ):
     """The pure frame function (jit via :func:`build_frame_program`).
 
@@ -201,6 +221,12 @@ def frame_program(
     prompt_embeds: [B, 77, D] pre-encoded text context (prompt caching is
     the server's job; reference re-encodes per frame, lcm_controlnet.py:449).
     strength/guidance_scale/controlnet_scale: [B] fp32.  seed: [B] int32.
+    warm_latents/warm_alpha: optional temporal warm-start — blends the
+    previous frame's denoised latents into the img2img base
+    (latents0 = (1-a)*encode(frame) + a*prev), stabilizing video output
+    across frames (StreamDiffusion-style; absent from the reference).
+    ``warm_alpha`` is per-element traced, so 0 disables it with no
+    recompile.
 
     Returns (images_u8 [B,H,W,3], denoised_latents [B,h,w,4]) — latents are
     surfaced for temporal warm-starting.
@@ -217,6 +243,12 @@ def frame_program(
 
     img_pm1 = (img01 * 2.0 - 1.0).astype(dtype)
     latents0 = _encode_latents(cfgs, params, spec, img_pm1)
+    if warm_latents is not None:
+        a = jnp.asarray(warm_alpha, jnp.float32)[:, None, None, None]
+        latents0 = (
+            (1.0 - a) * latents0.astype(jnp.float32)
+            + a * warm_latents.astype(jnp.float32)
+        ).astype(latents0.dtype)
 
     # --- per-element timestep ladders
     ts, valid = jax.vmap(
@@ -249,6 +281,21 @@ def frame_program(
     context = prompt_embeds.astype(dtype)
     denoised = latents0
 
+    # SDXL "text_time" micro-conditioning: pooled embeds + static
+    # (orig_h, orig_w, crop_t, crop_l, target_h, target_w) ids
+    added_cond = None
+    if unet_cfg.addition_embed_type == "text_time":
+        if pooled_embeds is None:
+            raise ValueError("sdxl family requires pooled_embeds")
+        time_ids = jnp.tile(
+            jnp.asarray(
+                [[spec.height, spec.width, 0, 0, spec.height, spec.width]],
+                jnp.float32,
+            ),
+            (B, 1),
+        )
+        added_cond = {"text_embeds": pooled_embeds.astype(dtype), "time_ids": time_ids}
+
     # --- unrolled denoise loop (S static; per-element masks handle shorter
     # ladders, see schedulers/lcm.py docstring)
     for s in range(S):
@@ -275,6 +322,7 @@ def frame_program(
             t,
             context,
             timestep_cond=w_emb,
+            added_cond_kwargs=added_cond,
             down_block_additional_residuals=down_res,
             mid_block_additional_residual=mid_res,
         )
@@ -316,7 +364,18 @@ def build_frame_program(bundle: ModelBundle, spec: FrameSpec):
         dtype=bundle.dtype,
     )
 
-    def wrapper(params, frame_u8, prompt_embeds, strength, guidance, cn_scale, seed):
+    def wrapper(
+        params,
+        frame_u8,
+        prompt_embeds,
+        strength,
+        guidance,
+        cn_scale,
+        seed,
+        warm_latents=None,
+        warm_alpha=None,
+        pooled_embeds=None,
+    ):
         return fn(
             params,
             alphas_cumprod=bundle.alphas_cumprod,
@@ -326,6 +385,9 @@ def build_frame_program(bundle: ModelBundle, spec: FrameSpec):
             guidance_scale=guidance,
             controlnet_scale=cn_scale,
             seed=seed,
+            warm_latents=warm_latents,
+            warm_alpha=warm_alpha,
+            pooled_embeds=pooled_embeds,
         )
 
     return jax.jit(wrapper)
@@ -336,11 +398,16 @@ def build_prompt_encoder(bundle: ModelBundle):
 
     The server caches results per prompt string (the reference re-runs CLIP
     every frame inside the pipeline, lcm_controlnet.py:449-454 — pure waste
-    for a static prompt).
+    for a static prompt).  SDXL bundles encode both towers: context is the
+    768+1280 concat, pooled comes from tower 2's projection head.
     """
 
     @jax.jit
     def encode(params, input_ids):
-        return clip_text_apply(params["clip"], bundle.clip_cfg, input_ids)
+        ctx, pooled = clip_text_apply(params["clip"], bundle.clip_cfg, input_ids)
+        if "clip2" in params:
+            ctx2, pooled = clip_text_apply(params["clip2"], bundle.clip2_cfg, input_ids)
+            ctx = jnp.concatenate([ctx, ctx2], axis=-1)
+        return ctx, pooled
 
     return encode
