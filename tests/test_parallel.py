@@ -1,0 +1,116 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4).
+
+Covers: mesh construction, TP param placement per PARAM_RULES, the
+sharded serving engine producing identical numerics to single-device, the
+pjit train step, and checkpoint save/load round-trips.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videosd_tpu.parallel.mesh import make_mesh, param_spec, shard_params
+from videosd_tpu.pipelines.lcm_img2img import (
+    FrameSpec,
+    ModelBundle,
+    build_frame_program,
+    build_prompt_encoder,
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8, model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(8, model_parallel=3)
+
+
+def test_param_rules_match_attention_kernels():
+    from jax.sharding import PartitionSpec as P
+    from jax.tree_util import DictKey
+
+    path = (DictKey("attn1"), DictKey("to_q"), DictKey("kernel"))
+    assert param_spec(path, None) == P(None, "model")
+    path = (DictKey("attn1"), DictKey("to_out"), DictKey("kernel"))
+    assert param_spec(path, None) == P("model", None)
+    path = (DictKey("conv1"), DictKey("kernel"))
+    assert param_spec(path, None) == P()
+
+
+def test_shard_params_places_on_mesh():
+    mesh = make_mesh(8, model_parallel=2)
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=False)
+    sharded = shard_params(bundle.params["unet"], mesh)
+    leaf = sharded["down_blocks"][0]["attentions"][0]["transformer_blocks"][0][
+        "attn1"
+    ]["to_q"]["kernel"]
+    # 32x32 kernel across model=2 -> 32x16 shards
+    assert leaf.sharding.num_devices == 8
+
+
+def test_sharded_serving_matches_single_device(rng):
+    from videosd_tpu.parallel.serving import ShardedFrameEngine
+
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32)
+    spec = FrameSpec(batch=8, height=32, width=32, steps=1)
+
+    enc = build_prompt_encoder(bundle)
+    ids = jnp.asarray(bundle.tokenizer(["x"]), jnp.int32)
+    ctx, _ = enc(bundle.params, ids)
+    embeds = jnp.concatenate([ctx] * 8, axis=0)
+
+    frames = jnp.asarray(rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8))
+    strength = jnp.linspace(0.2, 0.9, 8).astype(jnp.float32)
+    guidance = jnp.full((8,), 5.0, jnp.float32)
+    cn = jnp.full((8,), 2.0, jnp.float32)
+    seed = jnp.arange(8, dtype=jnp.int32)
+
+    eng = ShardedFrameEngine(bundle, n_devices=8, model_parallel=1)
+    assert eng.data_size == 8
+    out_sharded, _ = eng.run(spec, frames, embeds, strength, guidance, cn, seed)
+
+    prog = build_frame_program(bundle, spec)
+    out_single, _ = prog(bundle.params, frames, embeds, strength, guidance, cn, seed)
+    # same program, different layout: bit-identical modulo reduction order;
+    # uint8 outputs must agree within 1 count
+    diff = np.abs(
+        np.asarray(out_sharded).astype(int) - np.asarray(out_single).astype(int)
+    )
+    assert diff.max() <= 1
+
+
+def test_sharded_serving_with_tp(rng):
+    from videosd_tpu.parallel.serving import ShardedFrameEngine
+
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=False)
+    spec = FrameSpec(batch=4, height=32, width=32, steps=1, use_controlnet=False)
+    enc = build_prompt_encoder(bundle)
+    ids = jnp.asarray(bundle.tokenizer(["x"]), jnp.int32)
+    ctx, _ = enc(bundle.params, ids)
+    embeds = jnp.concatenate([ctx] * 4, axis=0)
+    frames = jnp.asarray(rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8))
+    args = (
+        jnp.full((4,), 0.6, jnp.float32),
+        jnp.full((4,), 5.0, jnp.float32),
+        jnp.full((4,), 2.0, jnp.float32),
+        jnp.arange(4, dtype=jnp.int32),
+    )
+    eng = ShardedFrameEngine(bundle, n_devices=8, model_parallel=2)
+    out, lat = eng.run(spec, frames, embeds, *args)
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from videosd_tpu.io.checkpoint import load_bundle_params, save_bundle
+
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32)
+    save_bundle(bundle, str(tmp_path))
+    params2 = load_bundle_params(bundle, str(tmp_path), dtype=jnp.float32)
+    for name in ("unet", "controlnet", "clip", "taesd"):
+        a = jax.tree_util.tree_leaves(bundle.params[name])
+        b = jax.tree_util.tree_leaves(params2[name])
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
