@@ -175,13 +175,21 @@ class Engine:
 
     # ------------------------------------------------------------ programs
 
-    def _get_program(self, spec):
-        prog = self._programs.get(spec)
+    def _get_program(self, spec, *, ref_mode: bool = False):
+        key = (spec, ref_mode)
+        prog = self._programs.get(key)
         if prog is None:
-            from videosd_tpu.pipelines.lcm_img2img import build_frame_program
+            if ref_mode:
+                from videosd_tpu.pipelines.reference_attn import (
+                    build_reference_program,
+                )
 
-            prog = build_frame_program(self.bundle, spec)
-            self._programs[spec] = prog
+                prog = build_reference_program(self.bundle, spec)
+            else:
+                from videosd_tpu.pipelines.lcm_img2img import build_frame_program
+
+                prog = build_frame_program(self.bundle, spec)
+            self._programs[key] = prog
         return prog
 
     def _encode_prompt(self, prompt: str):
@@ -212,7 +220,10 @@ class Engine:
                     batch=b, height=height, width=width, in_height=ih, in_width=iw,
                     steps=s,
                 )
-                self._run_bucket_sync(spec, *self._dummy_batch(spec))
+                frames, embeds, strength, guidance, cn, seed = self._dummy_batch(spec)
+                self._run_bucket_sync(
+                    spec, False, frames, frames, embeds, strength, guidance, cn, seed
+                )
 
     def _dummy_batch(self, spec):
         import jax.numpy as jnp
@@ -230,13 +241,27 @@ class Engine:
             np.arange(b, dtype=np.int32),
         )
 
-    def _run_bucket_sync(self, spec, frames, embeds, strength, guidance, cn, seed):
+    def _run_bucket_sync(
+        self, spec, ref_mode, frames, ref_frames, embeds, strength, guidance, scale, seed
+    ):
         import jax
 
-        prog = self._get_program(spec)
-        out, latents = prog(
-            self.bundle.params, frames, embeds, strength, guidance, cn, seed
-        )
+        prog = self._get_program(spec, ref_mode=ref_mode)
+        if ref_mode:
+            out, latents = prog(
+                self.bundle.params,
+                frames,
+                ref_frames,
+                embeds,
+                strength,
+                guidance,
+                scale,
+                seed,
+            )
+        else:
+            out, latents = prog(
+                self.bundle.params, frames, embeds, strength, guidance, scale, seed
+            )
         jax.block_until_ready(out)
         return np.asarray(out), latents
 
@@ -297,17 +322,19 @@ class Engine:
                 await asyncio.sleep(0.001)
                 ready.extend(self._collect_ready())
 
-            # group by shape bucket (steps, h, w)
+            # group by shape/mode bucket (steps, h, w, ref, controlnet)
             groups: dict[Any, list] = {}
             for st, buf, ts in ready:
                 key = (
                     int(st.options["steps"]),
                     int(st.options["height"]),
                     int(st.options["width"]),
+                    bool(st.options.get("ref")),
+                    bool(st.options.get("controlnet", True)),
                 )
                 groups.setdefault(key, []).append((st, buf, ts))
 
-            for (steps, h, w), items in groups.items():
+            for (steps, h, w, ref_mode, use_cn), items in groups.items():
                 b = self._bucket_batch(len(items))
                 spec = FrameSpec(
                     batch=b,
@@ -316,18 +343,26 @@ class Engine:
                     in_height=self.frame_hw[0],
                     in_width=self.frame_hw[1],
                     steps=steps,
+                    use_controlnet=use_cn and not ref_mode,
                 )
                 frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
+                ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
                 strength = np.full((b,), 0.6, np.float32)
                 guidance = np.full((b,), 5.0, np.float32)
-                cn = np.full((b,), 2.0, np.float32)
+                scale = np.full((b,), 2.0, np.float32)  # cn scale OR fidelity
                 seed = np.zeros((b,), np.int32)
                 emb_list = []
                 for i, (st, buf, ts) in enumerate(items):
                     frames[i] = buf
+                    if ref_mode and st.ref_frame is not None:
+                        ref_frames[i] = self._fit_frame(st.ref_frame)
                     strength[i] = float(st.options["strength"])
                     guidance[i] = float(st.options["guidance_scale"])
-                    cn[i] = float(st.options["controlnet_scale"])
+                    scale[i] = float(
+                        st.options["style_fidelity"]
+                        if ref_mode
+                        else st.options["controlnet_scale"]
+                    )
                     seed[i] = int(st.options["seed"])
                     emb_list.append(self._encode_prompt(str(st.options["prompt"])))
                 pad_emb = emb_list[-1]
@@ -340,11 +375,13 @@ class Engine:
                     None,
                     self._run_bucket_sync,
                     spec,
+                    ref_mode,
                     frames,
+                    ref_frames,
                     embeds,
                     strength,
                     guidance,
-                    cn,
+                    scale,
                     seed,
                 )
                 dt = time.perf_counter() - t0
@@ -355,6 +392,8 @@ class Engine:
 
                 for i, (st, _buf, _ts) in enumerate(items):
                     st.last_output = out[i]
+                    # reference behavior: when ref is on, the last generated
+                    # frame becomes the new reference (server.py:115-116)
                     if st.options.get("ref"):
                         st.ref_frame = out[i]
                     while st.waiters:
