@@ -16,6 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the 4-step 512x512 program is a multi-minute
+# compile on this host; cache it across bench runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 BASELINE_FPS = 20.0
 
 
@@ -46,19 +51,31 @@ def main() -> None:
     out, lat = program(bundle.params, frame, embeds, strength, guidance, cn, seed)
     jax.block_until_ready(out)
 
+    # throughput: pipelined dispatch (device-bound; JAX async dispatch hides
+    # host/tunnel round trips, as the serving engine does in steady state)
     n = 30
-    lat_ms = []
     t_start = time.perf_counter()
+    outs = []
     for i in range(n):
+        out, lat = program(
+            bundle.params, frame, embeds, strength, guidance, cn, seed + i
+        )
+        outs.append(out)
+        if len(outs) > 2:  # keep 2 frames in flight
+            jax.block_until_ready(outs.pop(0))
+    jax.block_until_ready(outs)
+    wall = time.perf_counter() - t_start
+    fps = n / wall
+
+    # latency: per-frame blocking round trip
+    lat_ms = []
+    for i in range(10):
         t0 = time.perf_counter()
         out, lat = program(
             bundle.params, frame, embeds, strength, guidance, cn, seed + i
         )
         jax.block_until_ready(out)
         lat_ms.append((time.perf_counter() - t0) * 1e3)
-    wall = time.perf_counter() - t_start
-
-    fps = n / wall
     p50 = float(np.percentile(lat_ms, 50))
     print(
         json.dumps(

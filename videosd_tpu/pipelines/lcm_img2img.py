@@ -176,6 +176,61 @@ class ModelBundle:
             dtype=dtype,
         )
 
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_dir: str,
+        *,
+        family: str = "sd15",
+        controlnet_dir: str | None = None,
+        taesd_dir: str | None = None,
+        dtype=jnp.bfloat16,
+    ) -> "ModelBundle":
+        """Load a diffusers-layout checkpoint directory (local HF snapshot:
+        unet/ vae/ text_encoder/ tokenizer/ subdirs), converting torch
+        tensors via the io.weights plans.  The same checkpoints the
+        reference pulls at actor start (videopipeline.py:49-72), minus the
+        hub download (zero-egress: the cache must be mounted).
+        """
+        from videosd_tpu.io import weights as W
+
+        bundle = cls.random(family, dtype=dtype, with_controlnet=False)
+        params = dict(bundle.params)
+        params["unet"] = W.load_model_dir(
+            model_dir, "unet", W.unet_plan(bundle.unet_cfg), dtype
+        )
+        params["clip"] = W.load_model_dir(
+            model_dir, "text_encoder", W.clip_plan(bundle.clip_cfg), dtype
+        )
+        try:
+            params["vae"] = W.load_model_dir(
+                model_dir, "vae", W.vae_plan(bundle.vae_cfg), dtype
+            )
+        except (FileNotFoundError, KeyError):
+            pass  # TAESD-only deployments (the reference swaps the VAE out)
+        if controlnet_dir:
+            params["controlnet"] = W.load_model_dir(
+                controlnet_dir, "", W.controlnet_plan(bundle.unet_cfg), dtype
+            )
+        if taesd_dir:
+            params["taesd"] = W.load_model_dir(
+                taesd_dir, "", W.taesd_plan(bundle.taesd_cfg), dtype
+            )
+        bundle.params = params
+        tok_dir = None
+        for sub in ("tokenizer", ""):
+            import os
+
+            cand = os.path.join(model_dir, sub)
+            if os.path.isfile(os.path.join(cand, "vocab.json")):
+                tok_dir = cand
+                break
+        if tok_dir:
+            bundle.tokenizer = CLIPTokenizer(
+                tok_dir, pad_to_eos=(family != "sd21")
+            )
+        return bundle
+
     @property
     def latent_scale(self) -> float:
         return 1.0  # TAESD scaling_factor; KL path applies vae_cfg.scaling_factor
