@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import typing
 from typing import Any
 
 import jax
@@ -104,6 +105,8 @@ class ModelBundle:
     clip2_cfg: Any = None  # second text tower (SDXL family)
     dtype: Any = jnp.bfloat16
 
+    _random_cache: typing.ClassVar[dict] = {}
+
     @classmethod
     def random(
         cls,
@@ -118,7 +121,13 @@ class ModelBundle:
 
         Real checkpoints load through videosd_tpu.io.weights when a local
         HF cache is mounted (zero-egress environments can't download).
+        Bundles are cached per config — params are immutable pytrees, so
+        sharing across callers is safe and saves repeated init compiles.
         """
+        cache_key = (family, seed, jnp.dtype(dtype).name, with_controlnet, with_kl_vae)
+        cached = cls._random_cache.get(cache_key)
+        if cached is not None:
+            return cached
         unet_cfg = UNET_PRESETS[family]
         clip_key = {
             "sd15": "sd15",
@@ -162,7 +171,7 @@ class ModelBundle:
             )
         sched_cfg = LCMSchedulerConfig()
         tok = CLIPTokenizer(find_vocab_dir(), vocab_size=clip_cfg.vocab_size)
-        return cls(
+        bundle = cls(
             family=family,
             unet_cfg=unet_cfg,
             clip_cfg=clip_cfg,
@@ -175,6 +184,8 @@ class ModelBundle:
             clip2_cfg=clip2_cfg,
             dtype=dtype,
         )
+        cls._random_cache[cache_key] = bundle
+        return bundle
 
     @classmethod
     def from_pretrained(
@@ -194,7 +205,8 @@ class ModelBundle:
         """
         from videosd_tpu.io import weights as W
 
-        bundle = cls.random(family, dtype=dtype, with_controlnet=False)
+        # copy the (possibly cached/shared) random bundle before mutating
+        bundle = dataclasses.replace(cls.random(family, dtype=dtype, with_controlnet=False))
         params = dict(bundle.params)
         params["unet"] = W.load_model_dir(
             model_dir, "unet", W.unet_plan(bundle.unet_cfg), dtype
