@@ -199,9 +199,24 @@ def cross_attn_init(key, query_dim: int, context_dim: int, inner_dim: int) -> Pa
 
 
 def cross_attn_apply(p: Params, x, context, *, num_heads: int, impl: str = "auto"):
-    q = linear(p["to_q"], x)
-    k = linear(p["to_k"], context)
-    v = linear(p["to_v"], context)
+    if context is x:
+        # self-attention: fuse Q/K/V into ONE GEMM (weights are concatenated
+        # inside the graph — a constant-size copy XLA hoists — so the MXU
+        # sees one [S,C]x[C,3C] matmul instead of three skinny ones)
+        wqkv = jnp.concatenate(
+            [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]], axis=1
+        ).astype(x.dtype)
+        qkv = jnp.dot(x, wqkv, preferred_element_type=jnp.float32).astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = linear(p["to_q"], x)
+        wkv = jnp.concatenate(
+            [p["to_k"]["kernel"], p["to_v"]["kernel"]], axis=1
+        ).astype(context.dtype)
+        kv = jnp.dot(context, wkv, preferred_element_type=jnp.float32).astype(
+            context.dtype
+        )
+        k, v = jnp.split(kv, 2, axis=-1)
     out = attention(q, k, v, num_heads=num_heads, impl=impl)
     return linear(p["to_out"], out)
 

@@ -97,7 +97,7 @@ class Engine:
 
     def start(self):
         if self._loop_task is None:
-            self._loop_task = asyncio.get_event_loop().create_task(self._batch_loop())
+            self._loop_task = asyncio.get_running_loop().create_task(self._batch_loop())
 
     async def stop(self):
         self._stopped.set()
@@ -154,7 +154,7 @@ class Engine:
             h, w = int(st.options["height"]), int(st.options["width"])
             st.last_output = np.zeros((h, w, 3), np.uint8)
             st.ref_frame = frame
-        fut = asyncio.get_event_loop().create_future()
+        fut = asyncio.get_running_loop().create_future()
         st.waiters.append(fut)
         try:
             return await fut
@@ -293,7 +293,7 @@ class Engine:
 
         from videosd_tpu.pipelines.lcm_img2img import FrameSpec
 
-        loop = asyncio.get_event_loop()
+        loop = asyncio.get_running_loop()
         while not self._stopped.is_set():
             self._wake.clear()
             ready = self._collect_ready()

@@ -193,8 +193,18 @@ async def healthz(request: web.Request) -> web.Response:
 
 
 async def _on_startup(app: web.Application):
-    app["engine"].start()
-    app["watchdog_task"] = asyncio.get_event_loop().create_task(watchdog(app))
+    engine: Engine = app["engine"]
+    engine.start()
+    if app["config"].compile:
+        # AOT-warm the hot buckets so first frames don't hit compile stalls
+        # (the reference's `compile` flag / compile_model warmup analog,
+        # videopipeline.py:35-47, config.yaml:5)
+        loop = asyncio.get_running_loop()
+        h = w = 512
+        await loop.run_in_executor(
+            None, lambda: engine.warmup(batch_sizes=(1,), steps=(4,), height=h, width=w)
+        )
+    app["watchdog_task"] = asyncio.get_running_loop().create_task(watchdog(app))
 
 
 async def _on_shutdown(app: web.Application):
