@@ -271,10 +271,42 @@ $("randomBtn").addEventListener("click", () => expandPrompt(true));
 
 /* ------------------------------------------------ speech-to-text */
 let recording = false;
-$("recordBtn").addEventListener("click", () => {
+let audioCtx = null, audioNode = null, audioStream = null;
+
+async function startMicCapture() {
+  // WS transport: stream PCM16 chunks as base64 "audio" messages
+  audioStream = await navigator.mediaDevices.getUserMedia({ audio: true });
+  audioCtx = new AudioContext();
+  const src = audioCtx.createMediaStreamSource(audioStream);
+  audioNode = audioCtx.createScriptProcessor(4096, 1, 1);
+  audioNode.onaudioprocess = (e) => {
+    if (!recording || !state.ws || state.ws.readyState !== WebSocket.OPEN) return;
+    const f32 = e.inputBuffer.getChannelData(0);
+    const i16 = new Int16Array(f32.length);
+    for (let i = 0; i < f32.length; i++) i16[i] = Math.max(-1, Math.min(1, f32[i])) * 32767;
+    const b64 = btoa(String.fromCharCode(...new Uint8Array(i16.buffer)));
+    state.ws.send(JSON.stringify({ type: "audio", rate: audioCtx.sampleRate, pcm16: b64 }));
+  };
+  src.connect(audioNode);
+  audioNode.connect(audioCtx.destination);
+}
+
+function stopMicCapture() {
+  audioNode?.disconnect();
+  audioStream?.getTracks().forEach((t) => t.stop());
+  audioCtx?.close();
+  audioNode = audioCtx = audioStream = null;
+}
+
+$("recordBtn").addEventListener("click", async () => {
   recording = !recording;
   $("recordBtn").textContent = recording ? "⏹ Stop" : "🎙 Speak";
   const msg = { type: "record", action: recording ? "start" : "stop" };
-  if (state.ws && state.ws.readyState === WebSocket.OPEN) state.ws.send(JSON.stringify(msg));
-  else if (state.dc?.readyState === "open") state.dc.send(recording ? "start" : "stop");
+  if (state.ws && state.ws.readyState === WebSocket.OPEN) {
+    state.ws.send(JSON.stringify(msg));
+    if (recording) { try { await startMicCapture(); } catch (e) { setStatus("mic error"); } }
+    else stopMicCapture();
+  } else if (state.dc?.readyState === "open") {
+    state.dc.send(recording ? "start" : "stop");
+  }
 });

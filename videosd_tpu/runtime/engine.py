@@ -371,19 +371,35 @@ class Engine:
 
                 self.queue.mark_gen_start()
                 t0 = time.perf_counter()
-                out, latents = await loop.run_in_executor(
-                    None,
-                    self._run_bucket_sync,
-                    spec,
-                    ref_mode,
-                    frames,
-                    ref_frames,
-                    embeds,
-                    strength,
-                    guidance,
-                    scale,
-                    seed,
-                )
+                try:
+                    out, latents = await loop.run_in_executor(
+                        None,
+                        self._run_bucket_sync,
+                        spec,
+                        ref_mode,
+                        frames,
+                        ref_frames,
+                        embeds,
+                        strength,
+                        guidance,
+                        scale,
+                        seed,
+                    )
+                except Exception:
+                    # a failed batch must not kill the loop (the reference's
+                    # try/finally around infer, server.py:107-111): resolve
+                    # waiters with the last good output and keep serving
+                    import logging
+
+                    logging.getLogger("videosd_tpu.engine").exception(
+                        "frame program failed for bucket %s", spec
+                    )
+                    for st, _buf, _ts in items:
+                        while st.waiters:
+                            wtr = st.waiters.pop(0)
+                            if not wtr.done():
+                                wtr.set_result(st.last_output)
+                    continue
                 dt = time.perf_counter() - t0
                 self.queue.record_gen(dt)
                 self.telemetry.record_generation(

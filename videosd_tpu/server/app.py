@@ -156,6 +156,15 @@ async def ws_handler(request: web.Request) -> web.WebSocketResponse:
                     elif data.get("action") == "stop":
                         text = await stt.stop_and_transcribe()
                         await ws.send_json({"type": "transcript", "text": text})
+                elif mtype == "audio":
+                    # PCM16 mono chunk (base64) while recording
+                    import base64
+
+                    if stt is not None and stt.recording:
+                        pcm = np.frombuffer(
+                            base64.b64decode(data.get("pcm16", "")), np.int16
+                        )
+                        stt.add_frame(pcm, sample_rate=int(data.get("rate", 48000)))
                 elif mtype == "stats":
                     await ws.send_json({"type": "stats", "stats": engine.stats()})
             elif msg.type == WSMsgType.BINARY:
