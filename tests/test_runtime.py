@@ -139,3 +139,35 @@ def test_engine_option_update_coercion():
         await eng.stop()
 
     asyncio.run(run())
+
+
+def test_engine_survives_program_failure(rng):
+    """A raising frame program must not kill the batch loop (fault
+    tolerance: the reference only had try/finally + watchdog resets)."""
+
+    async def run():
+        eng = _mk_engine()
+        calls = {"n": 0}
+        orig = eng._run_bucket_sync
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected failure")
+            return orig(*a, **kw)
+
+        eng._run_bucket_sync = flaky
+        eng.start()
+        try:
+            st = eng.open_stream({"height": 32, "width": 32, "steps": 1})
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            out1 = await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 60)
+            # first submission hit the injected failure -> last_output (black)
+            assert out1.shape == (32, 32, 3)
+            out2 = await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+            assert calls["n"] >= 2  # loop kept going and ran the real program
+            assert out2.shape == (32, 32, 3)
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())

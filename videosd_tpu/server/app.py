@@ -198,6 +198,22 @@ async def healthz(request: web.Request) -> web.Response:
     return web.json_response({"ok": True})
 
 
+async def profile_handler(request: web.Request) -> web.Response:
+    """Capture a jax.profiler device trace for N seconds (default 3).
+
+    SURVEY §5 tracing upgrade: the reference's only profiling is a stdout
+    EMA; this emits a real XLA trace viewable in xprof/tensorboard.
+    """
+    seconds = float(request.query.get("seconds", 3))
+    seconds = min(seconds, 30.0)
+    log_dir = request.query.get("dir", "/tmp/videosd_trace")
+    tel = request.app["engine"].telemetry
+    tel.start_trace(log_dir)
+    await asyncio.sleep(seconds)
+    tel.stop_trace()
+    return web.json_response({"trace_dir": log_dir, "seconds": seconds})
+
+
 # ----------------------------------------------------------------- app
 
 
@@ -235,6 +251,7 @@ def create_app(config: ServerConfig | None = None, *, engine: Engine | None = No
     app.router.add_get("/ws", ws_handler)
     app.router.add_get("/stats", stats_handler)
     app.router.add_get("/healthz", healthz)
+    app.router.add_post("/profile", profile_handler)
 
     # serve the bundled static client at / when present (production deploys
     # put nginx in front instead, like the reference's frontend container)
