@@ -171,3 +171,52 @@ def test_engine_survives_program_failure(rng):
             await eng.stop()
 
     asyncio.run(run())
+
+
+def test_similarity_filter_skips_generation(rng):
+    """StreamDiffusion-style skip: near-identical consecutive frames reuse
+    the last output without a generation."""
+
+    async def run():
+        eng = _mk_engine()
+        eng.start()
+        try:
+            st = eng.open_stream(
+                {"height": 32, "width": 32, "steps": 1, "similarity_threshold": 0.05}
+            )
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            out1 = await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+            gens = eng.telemetry.frames_out
+            out2 = await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 10)
+            assert eng.telemetry.frames_out == gens  # no new generation
+            np.testing.assert_array_equal(out1, out2)
+            # a very different frame does generate
+            frame2 = 255 - frame
+            await asyncio.wait_for(eng.submit_frame(st.stream_id, frame2), 120)
+            assert eng.telemetry.frames_out > gens
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
+
+
+def test_warm_alpha_latents_reused(rng):
+    async def run():
+        eng = _mk_engine()
+        eng.start()
+        try:
+            st = eng.open_stream(
+                {"height": 32, "width": 32, "steps": 1, "warm_alpha": 0.5}
+            )
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+            assert st.last_latents is not None
+            lat1 = np.asarray(st.last_latents, np.float32).copy()
+            frame2 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            await asyncio.wait_for(eng.submit_frame(st.stream_id, frame2), 120)
+            lat2 = np.asarray(st.last_latents, np.float32)
+            assert np.abs(lat1 - lat2).max() > 0
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())

@@ -46,6 +46,10 @@ _OPTION_COERCIONS = {
     "width": int,
     "height": int,
     "negative_prompt": str,
+    # TPU-native extensions (not in the reference protocol; unknown keys
+    # pass through, so reference clients are unaffected)
+    "similarity_threshold": float,
+    "warm_alpha": float,
 }
 
 _OPTION_DEFAULTS = {

@@ -46,8 +46,23 @@ class StreamState:
         self.last_output: np.ndarray | None = None
         self.last_latents = None
         self.ref_frame: np.ndarray | None = None
+        self.last_input: np.ndarray | None = None
         self.waiters: list[asyncio.Future] = []
         self.active = True
+
+    def similar_to_last(self, frame: np.ndarray, threshold: float) -> bool:
+        """Stochastic-similarity-style skip (StreamDiffusion idea): when the
+        incoming frame barely differs from the last diffused input, reuse
+        the last output instead of burning a generation.  ``threshold`` is
+        mean |delta| in [0,1] units; 0 disables (default)."""
+        if threshold <= 0 or self.last_input is None:
+            return False
+        if frame.shape != self.last_input.shape:
+            return False
+        # subsampled mean abs diff — O(pixels/64), negligible host cost
+        a = frame[::8, ::8].astype(np.int16)
+        b = self.last_input[::8, ::8].astype(np.int16)
+        return float(np.abs(a - b).mean()) / 255.0 < threshold
 
 
 class Engine:
@@ -147,6 +162,10 @@ class Engine:
         st = self.streams[sid]
         self.telemetry.frames_in += 1
         frame = self._fit_frame(frame)
+        sim_thresh = float(st.options.get("similarity_threshold", 0.0) or 0.0)
+        if st.last_output is not None and st.similar_to_last(frame, sim_thresh):
+            self.telemetry.frames_dropped += 1
+            return st.last_output
         self.queue.put(sid, frame)
         self._wake.set()
         if st.last_output is None:
@@ -242,7 +261,18 @@ class Engine:
         )
 
     def _run_bucket_sync(
-        self, spec, ref_mode, frames, ref_frames, embeds, strength, guidance, scale, seed
+        self,
+        spec,
+        ref_mode,
+        frames,
+        ref_frames,
+        embeds,
+        strength,
+        guidance,
+        scale,
+        seed,
+        warm_latents=None,
+        warm_alpha=None,
     ):
         import jax
 
@@ -259,11 +289,15 @@ class Engine:
                 seed,
             )
         else:
+            kwargs = {}
+            if warm_latents is not None:
+                kwargs = {"warm_latents": warm_latents, "warm_alpha": warm_alpha}
             out, latents = prog(
-                self.bundle.params, frames, embeds, strength, guidance, scale, seed
+                self.bundle.params, frames, embeds, strength, guidance, scale, seed,
+                **kwargs,
             )
         jax.block_until_ready(out)
-        return np.asarray(out), latents
+        return np.asarray(out), np.asarray(latents)
 
     # ------------------------------------------------------------ batcher
 
@@ -351,9 +385,13 @@ class Engine:
                 guidance = np.full((b,), 5.0, np.float32)
                 scale = np.full((b,), 2.0, np.float32)  # cn scale OR fidelity
                 seed = np.zeros((b,), np.int32)
+                lat_shape = (h // 8, w // 8, 4)
+                warm_alpha = np.zeros((b,), np.float32)
+                warm_lat = np.zeros((b, *lat_shape), np.float32)
                 emb_list = []
                 for i, (st, buf, ts) in enumerate(items):
                     frames[i] = buf
+                    st.last_input = buf
                     if ref_mode and st.ref_frame is not None:
                         ref_frames[i] = self._fit_frame(st.ref_frame)
                     strength[i] = float(st.options["strength"])
@@ -364,6 +402,14 @@ class Engine:
                         else st.options["controlnet_scale"]
                     )
                     seed[i] = int(st.options["seed"])
+                    wa = float(st.options.get("warm_alpha", 0.0) or 0.0)
+                    if (
+                        wa > 0
+                        and st.last_latents is not None
+                        and st.last_latents.shape == lat_shape
+                    ):
+                        warm_alpha[i] = wa
+                        warm_lat[i] = st.last_latents
                     emb_list.append(self._encode_prompt(str(st.options["prompt"])))
                 pad_emb = emb_list[-1]
                 emb_list.extend([pad_emb] * (b - len(items)))
@@ -384,6 +430,8 @@ class Engine:
                         guidance,
                         scale,
                         seed,
+                        None if ref_mode else warm_lat,
+                        None if ref_mode else warm_alpha,
                     )
                 except Exception:
                     # a failed batch must not kill the loop (the reference's
@@ -408,6 +456,7 @@ class Engine:
 
                 for i, (st, _buf, _ts) in enumerate(items):
                     st.last_output = out[i]
+                    st.last_latents = latents[i]
                     # reference behavior: when ref is on, the last generated
                     # frame becomes the new reference (server.py:115-116)
                     if st.options.get("ref"):
