@@ -84,6 +84,10 @@ class FrameSpec:
     canny_low: float = 0.11
     canny_high: float = 0.8
     lcm_origin_steps: int = 50
+    # ControlNet keep-window (lcm_controlnet.py:521-529): step i keeps the
+    # residuals iff i/steps >= start and (i+1)/steps <= end
+    control_guidance_start: float = 0.0
+    control_guidance_end: float = 1.0
 
     def resolved_in_shape(self) -> tuple[int, int]:
         return (self.in_height or self.height, self.in_width or self.width)
@@ -370,7 +374,14 @@ def frame_program(
         t_prev = ts[:, s + 1] if s + 1 < S else t
 
         down_res = mid_res = None
-        if spec.use_controlnet:
+        # reference keep-schedule (lcm_controlnet.py:521-529): 0.0 outside
+        # the [start, end) window — static per step, so the whole ControlNet
+        # call is dropped from the graph for excluded steps
+        keep = 1.0 - float(
+            s / S < spec.control_guidance_start
+            or (s + 1) / S > spec.control_guidance_end
+        )
+        if spec.use_controlnet and keep > 0.0:
             down_res, mid_res = controlnet_apply(
                 params["controlnet"],
                 unet_cfg,
@@ -378,7 +389,7 @@ def frame_program(
                 t,
                 context,
                 ctrl,
-                conditioning_scale=controlnet_scale,
+                conditioning_scale=controlnet_scale * keep,
                 timestep_cond=w_emb,
             )
 
