@@ -170,3 +170,25 @@ def test_timestep_embedding_flip_convention():
     # t=0: sin parts 0, cos parts 1; flip_sin_to_cos puts cos first
     np.testing.assert_allclose(e[0, :4], 1.0, atol=1e-6)
     np.testing.assert_allclose(e[0, 4:], 0.0, atol=1e-6)
+
+
+def test_controlnet_guess_mode_ramp():
+    """guess_mode ramps residual scales by logspace(-1,0) (diffusers
+    semantics the reference invokes with guess_mode=True)."""
+    import jax.numpy as jnp
+
+    cn = controlnet_init(jax.random.PRNGKey(9), TINY)
+    # give the zero convs nonzero weights so scaling is observable
+    cn = jax.tree.map(lambda x: jnp.ones_like(x) * 0.01, cn)
+    x = jnp.ones((1, 8, 8, 4))
+    t = jnp.array([100], jnp.int32)
+    ctx = jnp.ones((1, 7, TINY.cross_attention_dim))
+    cond = jnp.ones((1, 64, 64, 3))
+    kw = dict(conditioning_scale=1.0, timestep_cond=jnp.zeros((1, TINY.time_cond_proj_dim)))
+    down_g, mid_g = controlnet_apply(cn, TINY, x, t, ctx, cond, guess_mode=True, **kw)
+    down_p, mid_p = controlnet_apply(cn, TINY, x, t, ctx, cond, guess_mode=False, **kw)
+    ramp0 = 10 ** (-1.0)  # first output scale
+    np.testing.assert_allclose(
+        np.asarray(down_g[0]), np.asarray(down_p[0]) * ramp0, rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(mid_g), np.asarray(mid_p), rtol=1e-4)

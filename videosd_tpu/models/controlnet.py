@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from videosd_tpu.models.layers import Params, conv2d, conv2d_init, linear_init, silu
 from videosd_tpu.models.unet import (
@@ -105,12 +106,17 @@ def controlnet_apply(
     *,
     conditioning_scale=1.0,
     timestep_cond=None,
+    guess_mode: bool = True,
 ):
     """Returns (down_block_res_samples: list[13->12], mid_res).
 
     controlnet_cond: [B,H,W,3] control image in [0,1] at pixel resolution.
     conditioning_scale: traced scalar (reference slider `controlnet_scale`,
     applied at lcm_controlnet.py:558-566 via diffusers' output scaling).
+    guess_mode: the reference calls with guess_mode=True
+    (lcm_controlnet.py:402, :558-566); diffusers then ramps the residual
+    scales by logspace(-1, 0) from the shallowest skip to the mid block, so
+    deep features dominate — reproduced here with a static ramp.
     """
     temb = compute_time_embedding(params, cfg, timesteps, timestep_cond)
     context = encoder_hidden_states.astype(sample.dtype)
@@ -137,9 +143,17 @@ def controlnet_apply(
     scale = jnp.reshape(scale, scale.shape + (1,) * (x.ndim - scale.ndim)).astype(
         x.dtype
     )
+    n_out = len(down_res) + 1
+    if guess_mode:
+        # diffusers guess-mode ramp: logspace(-1, 0, n_outputs)
+        ramp = np.logspace(-1, 0, n_out).astype(np.float32)
+    else:
+        ramp = np.ones((n_out,), np.float32)
     out_down = [
-        conv2d(zc, r, padding=0) * scale
-        for zc, r in zip(params["controlnet_down_blocks"], down_res)
+        conv2d(zc, r, padding=0) * (scale * float(ramp[i]))
+        for i, (zc, r) in enumerate(zip(params["controlnet_down_blocks"], down_res))
     ]
-    out_mid = conv2d(params["controlnet_mid_block"], x, padding=0) * scale
+    out_mid = conv2d(params["controlnet_mid_block"], x, padding=0) * (
+        scale * float(ramp[-1])
+    )
     return out_down, out_mid
