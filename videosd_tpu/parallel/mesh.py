@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "PARAM_RULES",
     "param_spec",
@@ -32,6 +33,30 @@ __all__ = [
     "data_sharding",
     "replicated",
 ]
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Multi-host (DCN) initialization via jax.distributed.
+
+    Single-host slices (v5e-8) need none of this — one process drives all
+    chips over ICI.  For multi-host scale-out call this once per host
+    before building meshes (args default from the TPU environment).
+    Returns the global device count.  This is the entire replacement for
+    the reference's Ray cluster bring-up (SURVEY.md §2.4 comm backend).
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif coordinator_address:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+    return len(jax.devices())
 
 
 def make_mesh(
