@@ -95,6 +95,7 @@ class Engine:
         self._loop_task: asyncio.Task | None = None
         self._stopped = asyncio.Event()
         self._wake = asyncio.Event()
+        self._inflight: set[asyncio.Task] = set()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -368,103 +369,122 @@ class Engine:
                 )
                 groups.setdefault(key, []).append((st, buf, ts))
 
-            for (steps, h, w, ref_mode, use_cn), items in groups.items():
-                b = self._bucket_batch(len(items))
-                spec = FrameSpec(
-                    batch=b,
-                    height=h,
-                    width=w,
-                    in_height=self.frame_hw[0],
-                    in_width=self.frame_hw[1],
-                    steps=steps,
-                    use_controlnet=use_cn and not ref_mode,
-                )
-                frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
-                ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
-                strength = np.full((b,), 0.6, np.float32)
-                guidance = np.full((b,), 5.0, np.float32)
-                scale = np.full((b,), 2.0, np.float32)  # cn scale OR fidelity
-                seed = np.zeros((b,), np.int32)
-                lat_shape = (h // 8, w // 8, 4)
-                warm_alpha = np.zeros((b,), np.float32)
-                warm_lat = np.zeros((b, *lat_shape), np.float32)
-                emb_list = []
-                for i, (st, buf, ts) in enumerate(items):
-                    frames[i] = buf
-                    st.last_input = buf
-                    if ref_mode and st.ref_frame is not None:
-                        ref_frames[i] = self._fit_frame(st.ref_frame)
-                    strength[i] = float(st.options["strength"])
-                    guidance[i] = float(st.options["guidance_scale"])
-                    scale[i] = float(
-                        st.options["style_fidelity"]
-                        if ref_mode
-                        else st.options["controlnet_scale"]
+            # pipeline up to 2 batches: host packing + prompt encoding of
+            # batch N+1 overlaps device compute of batch N
+            for key, items in groups.items():
+                while len(self._inflight) >= 2:
+                    await asyncio.wait(
+                        set(self._inflight), return_when=asyncio.FIRST_COMPLETED
                     )
-                    seed[i] = int(st.options["seed"])
-                    wa = float(st.options.get("warm_alpha", 0.0) or 0.0)
-                    if (
-                        wa > 0
-                        and st.last_latents is not None
-                        and st.last_latents.shape == lat_shape
-                    ):
-                        warm_alpha[i] = wa
-                        warm_lat[i] = st.last_latents
-                    emb_list.append(self._encode_prompt(str(st.options["prompt"])))
-                pad_emb = emb_list[-1]
-                emb_list.extend([pad_emb] * (b - len(items)))
-                embeds = jnp.concatenate(emb_list, axis=0)
+                task = loop.create_task(self._process_group(loop, key, items))
+                self._inflight.add(task)
+                task.add_done_callback(self._inflight.discard)
 
-                self.queue.mark_gen_start()
-                t0 = time.perf_counter()
-                try:
-                    out, latents = await loop.run_in_executor(
-                        None,
-                        self._run_bucket_sync,
-                        spec,
-                        ref_mode,
-                        frames,
-                        ref_frames,
-                        embeds,
-                        strength,
-                        guidance,
-                        scale,
-                        seed,
-                        None if ref_mode else warm_lat,
-                        None if ref_mode else warm_alpha,
-                    )
-                except Exception:
-                    # a failed batch must not kill the loop (the reference's
-                    # try/finally around infer, server.py:107-111): resolve
-                    # waiters with the last good output and keep serving
-                    import logging
+        if self._inflight:
+            await asyncio.gather(*self._inflight, return_exceptions=True)
 
-                    logging.getLogger("videosd_tpu.engine").exception(
-                        "frame program failed for bucket %s", spec
-                    )
-                    for st, _buf, _ts in items:
-                        while st.waiters:
-                            wtr = st.waiters.pop(0)
-                            if not wtr.done():
-                                wtr.set_result(st.last_output)
-                    continue
-                dt = time.perf_counter() - t0
-                self.queue.record_gen(dt)
-                self.telemetry.record_generation(
-                    dt, batch=len(items), fill=len(items) / b
-                )
+    async def _process_group(self, loop, key, items):
+        import jax.numpy as jnp
 
-                for i, (st, _buf, _ts) in enumerate(items):
-                    st.last_output = out[i]
-                    st.last_latents = latents[i]
-                    # reference behavior: when ref is on, the last generated
-                    # frame becomes the new reference (server.py:115-116)
-                    if st.options.get("ref"):
-                        st.ref_frame = out[i]
-                    while st.waiters:
-                        wtr = st.waiters.pop(0)
-                        if not wtr.done():
-                            wtr.set_result(out[i])
+        from videosd_tpu.pipelines.lcm_img2img import FrameSpec
+
+        (steps, h, w, ref_mode, use_cn) = key
+        b = self._bucket_batch(len(items))
+        spec = FrameSpec(
+            batch=b,
+            height=h,
+            width=w,
+            in_height=self.frame_hw[0],
+            in_width=self.frame_hw[1],
+            steps=steps,
+            use_controlnet=use_cn and not ref_mode,
+        )
+        frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
+        ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
+        strength = np.full((b,), 0.6, np.float32)
+        guidance = np.full((b,), 5.0, np.float32)
+        scale = np.full((b,), 2.0, np.float32)  # cn scale OR fidelity
+        seed = np.zeros((b,), np.int32)
+        lat_shape = (h // 8, w // 8, 4)
+        warm_alpha = np.zeros((b,), np.float32)
+        warm_lat = np.zeros((b, *lat_shape), np.float32)
+        emb_list = []
+        for i, (st, buf, ts) in enumerate(items):
+            frames[i] = buf
+            st.last_input = buf
+            if ref_mode and st.ref_frame is not None:
+                ref_frames[i] = self._fit_frame(st.ref_frame)
+            strength[i] = float(st.options["strength"])
+            guidance[i] = float(st.options["guidance_scale"])
+            scale[i] = float(
+                st.options["style_fidelity"]
+                if ref_mode
+                else st.options["controlnet_scale"]
+            )
+            seed[i] = int(st.options["seed"])
+            wa = float(st.options.get("warm_alpha", 0.0) or 0.0)
+            if (
+                wa > 0
+                and st.last_latents is not None
+                and st.last_latents.shape == lat_shape
+            ):
+                warm_alpha[i] = wa
+                warm_lat[i] = st.last_latents
+            emb_list.append(self._encode_prompt(str(st.options["prompt"])))
+        pad_emb = emb_list[-1]
+        emb_list.extend([pad_emb] * (b - len(items)))
+        embeds = jnp.concatenate(emb_list, axis=0)
+
+        self.queue.mark_gen_start()
+        t0 = time.perf_counter()
+        try:
+            out, latents = await loop.run_in_executor(
+                None,
+                self._run_bucket_sync,
+                spec,
+                ref_mode,
+                frames,
+                ref_frames,
+                embeds,
+                strength,
+                guidance,
+                scale,
+                seed,
+                None if ref_mode else warm_lat,
+                None if ref_mode else warm_alpha,
+            )
+        except Exception:
+            # a failed batch must not kill the loop (the reference's
+            # try/finally around infer, server.py:107-111): resolve
+            # waiters with the last good output and keep serving
+            import logging
+
+            logging.getLogger("videosd_tpu.engine").exception(
+                "frame program failed for bucket %s", spec
+            )
+            for st, _buf, _ts in items:
+                while st.waiters:
+                    wtr = st.waiters.pop(0)
+                    if not wtr.done():
+                        wtr.set_result(st.last_output)
+            return
+        dt = time.perf_counter() - t0
+        self.queue.record_gen(dt)
+        self.telemetry.record_generation(
+            dt, batch=len(items), fill=len(items) / b
+        )
+
+        for i, (st, _buf, _ts) in enumerate(items):
+            st.last_output = out[i]
+            st.last_latents = latents[i]
+            # reference behavior: when ref is on, the last generated
+            # frame becomes the new reference (server.py:115-116)
+            if st.options.get("ref"):
+                st.ref_frame = out[i]
+            while st.waiters:
+                wtr = st.waiters.pop(0)
+                if not wtr.done():
+                    wtr.set_result(out[i])
 
     # ------------------------------------------------------------ stats
 
