@@ -197,3 +197,20 @@ def test_stt_session_wav_rendering():
         assert not s.recording
 
     asyncio.run(run())
+
+
+def test_profile_endpoint_captures_trace(tmp_path):
+    async def run():
+        client = await _make_client()
+        try:
+            r = await client.post(f"/profile?seconds=0.2&dir={tmp_path}/trace")
+            assert r.status == 200
+            body = await r.json()
+            assert body["trace_dir"].endswith("trace")
+            import os
+
+            assert os.path.isdir(body["trace_dir"])
+        finally:
+            await client.close()
+
+    asyncio.run(run())
