@@ -49,3 +49,13 @@ def test_cross_attention_mask_path(rng):
     mask = jnp.triu(jnp.full((77, 77), -jnp.inf, jnp.float32), k=1)[None, None]
     out = attention(q, q, q, num_heads=2, mask=mask, impl="auto")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_banked_kv_longer_than_q(rng):
+    """Reference-attention READ pass shape: K/V = 2x Q length."""
+    q = jnp.asarray(rng.standard_normal((1, 256, 64)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((1, 512, 64)), jnp.float32)
+    ref = attention(q, kv, kv, num_heads=2, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, kv, kv, num_heads=2)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 2e-3

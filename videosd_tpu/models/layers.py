@@ -166,11 +166,15 @@ def attention(q, k, v, *, num_heads: int, mask=None, impl: str = "auto"):
     if impl == "auto":
         if (
             mask is None
-            and q.shape[1] == k.shape[1]
-            and q.shape[1] >= 256
             and q.shape[1] % 128 == 0
+            and k.shape[1] % 128 == 0
+            and k.shape[1] >= 256
+            and q.shape[1] >= 128
             and _default_attn_impl() == "pallas"
         ):
+            # covers plain self-attention AND the reference-attention READ
+            # pass (banked K/V of length 2S); the 77-token cross-attention
+            # stays on XLA (unaligned + nothing to tile)
             impl = "pallas"
         else:
             impl = "xla"
