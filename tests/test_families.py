@@ -79,6 +79,29 @@ def test_tiny_xl_frame_program(xl_bundle, rng):
     assert out.shape == (1, 32, 32, 3)
 
 
+def test_tiny_xl_frame_program_with_controlnet(rng):
+    """SDXL + ControlNet: text_time conditioning threads into BOTH nets."""
+    bundle = ModelBundle.random("tiny-xl", dtype=jnp.float32, with_controlnet=True)
+    spec = FrameSpec(batch=1, height=32, width=32, steps=2, use_controlnet=True)
+    prog = build_frame_program(bundle, spec)
+    enc = build_prompt_encoder(bundle)
+    ids = jnp.asarray(bundle.tokenizer(["hello"]), jnp.int32)
+    ctx, pooled = enc(bundle.params, ids)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    out, _ = prog(
+        bundle.params,
+        frame,
+        ctx,
+        jnp.array([0.6], jnp.float32),
+        jnp.array([5.0], jnp.float32),
+        jnp.array([1.5], jnp.float32),
+        jnp.array([3], jnp.int32),
+        pooled_embeds=pooled,
+    )
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out).astype(np.float32)).all()
+
+
 def test_warm_start_latents(rng):
     bundle = ModelBundle.random("tiny", dtype=jnp.float32)
     spec = FrameSpec(batch=1, height=32, width=32, steps=1)

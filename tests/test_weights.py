@@ -59,6 +59,14 @@ def test_controlnet_tiny_roundtrip():
     _roundtrip(controlnet_init(jax.random.PRNGKey(1), cfg), controlnet_plan(cfg))
 
 
+def test_controlnet_xl_roundtrip():
+    """SDXL-family ControlNet carries the text_time add_embedding."""
+    cfg = UNET_PRESETS["tiny-xl"]
+    params = controlnet_init(jax.random.PRNGKey(1), cfg)
+    assert "add_embedding" in params
+    _roundtrip(params, controlnet_plan(cfg))
+
+
 def test_clip_tiny_roundtrip():
     cfg = CLIP_PRESETS["tiny"]
     _roundtrip(clip_text_init(jax.random.PRNGKey(2), cfg), clip_plan(cfg))

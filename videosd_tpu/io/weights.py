@@ -190,6 +190,9 @@ def controlnet_plan(cfg: UNetConfig) -> Plan:
                 "linear",
             )
         )
+    if cfg.addition_embed_type == "text_time":
+        _wb(plan, ("add_embedding", "linear_1"), "add_embedding.linear_1", "linear")
+        _wb(plan, ("add_embedding", "linear_2"), "add_embedding.linear_2", "linear")
     ce = ("controlnet_cond_embedding",)
     _wb(plan, ce + ("conv_in",), "controlnet_cond_embedding.conv_in", "conv")
     for i in range(6):

@@ -21,6 +21,7 @@ import numpy as np
 from videosd_tpu.models.layers import Params, conv2d, conv2d_init, linear_init, silu
 from videosd_tpu.models.unet import (
     UNetConfig,
+    compute_add_embedding,
     compute_time_embedding,
     down_block_apply,
     down_block_init,
@@ -54,6 +55,17 @@ def controlnet_init(key, cfg: UNetConfig, dtype=jnp.float32) -> Params:
         p["time_embedding"]["cond_proj"] = linear_init(
             ks[3], cfg.time_cond_proj_dim, ch0, bias=False
         )
+    if cfg.addition_embed_type == "text_time":
+        # SDXL-family ControlNet: the encoder copies the UNet encoder, so it
+        # carries the same "text_time" micro-conditioning embedder (pooled
+        # text embeds + 6 time_ids -> added to temb)
+        add_ks = jax.random.split(ks[7], 2)
+        p["add_embedding"] = {
+            "linear_1": linear_init(
+                add_ks[0], cfg.projection_class_embeddings_input_dim, ted
+            ),
+            "linear_2": linear_init(add_ks[1], ted, ted),
+        }
 
     # conditioning embedder: RGB -> ch0 feature map at latent resolution
     cond_ks = jax.random.split(ks[4], len(_COND_CHANNELS) * 2)
@@ -106,6 +118,7 @@ def controlnet_apply(
     *,
     conditioning_scale=1.0,
     timestep_cond=None,
+    added_cond_kwargs=None,
     guess_mode: bool = True,
 ):
     """Returns (down_block_res_samples: list[13->12], mid_res).
@@ -119,6 +132,11 @@ def controlnet_apply(
     deep features dominate — reproduced here with a static ramp.
     """
     temb = compute_time_embedding(params, cfg, timesteps, timestep_cond)
+    if cfg.addition_embed_type == "text_time":
+        aek = added_cond_kwargs or {}
+        temb = temb + compute_add_embedding(
+            params, cfg, aek["text_embeds"], aek["time_ids"]
+        )
     context = encoder_hidden_states.astype(sample.dtype)
 
     x = conv2d(params["conv_in"], sample)

@@ -339,7 +339,8 @@ def down_block_apply(
     res_samples = []
     for i, rn in enumerate(p["resnets"]):
         x = resnet_apply(rn, cfg, x, temb)
-        if p["attentions"]:
+        # .get: converted checkpoints omit the key for attention-less blocks
+        if p.get("attentions"):
             x = transformer2d_apply(
                 p["attentions"][i], cfg, x, context, bank=bank, bank_out=bank_out
             )
@@ -413,7 +414,7 @@ def up_block_apply(
         res = res_samples.pop()
         x = jnp.concatenate([x, res], axis=-1)
         x = resnet_apply(rn, cfg, x, temb)
-        if p["attentions"]:
+        if p.get("attentions"):
             x = transformer2d_apply(
                 p["attentions"][i], cfg, x, context, bank=bank, bank_out=bank_out
             )

@@ -391,6 +391,7 @@ def frame_program(
                 ctrl,
                 conditioning_scale=controlnet_scale * keep,
                 timestep_cond=w_emb,
+                added_cond_kwargs=added_cond,
             )
 
         eps = unet_apply(

@@ -213,8 +213,13 @@ class Engine:
         return prog
 
     def _encode_prompt(self, prompt: str):
-        emb = self._prompt_cache.get(prompt)
-        if emb is None:
+        """-> (context_embeds, pooled_embeds), cached per prompt string.
+
+        pooled is only consumed by SDXL-family programs (text_time
+        micro-conditioning) but is cached unconditionally — it's a free
+        byproduct of the encoder call."""
+        cached = self._prompt_cache.get(prompt)
+        if cached is None:
             import jax.numpy as jnp
 
             from videosd_tpu.pipelines.lcm_img2img import build_prompt_encoder
@@ -222,11 +227,11 @@ class Engine:
             if self._encoder is None:
                 self._encoder = build_prompt_encoder(self.bundle)
             ids = jnp.asarray(self.bundle.tokenizer([prompt]), jnp.int32)
-            emb, _pooled = self._encoder(self.bundle.params, ids)
+            cached = self._encoder(self.bundle.params, ids)
             if len(self._prompt_cache) > 256:
                 self._prompt_cache.clear()
-            self._prompt_cache[prompt] = emb
-        return emb
+            self._prompt_cache[prompt] = cached
+        return cached
 
     def warmup(self, batch_sizes=(1,), steps=(4,), height=512, width=512):
         """Ahead-of-time compile the hot buckets (SURVEY.md §7 "hard parts":
@@ -240,9 +245,12 @@ class Engine:
                     batch=b, height=height, width=width, in_height=ih, in_width=iw,
                     steps=s,
                 )
-                frames, embeds, strength, guidance, cn, seed = self._dummy_batch(spec)
+                frames, embeds, strength, guidance, cn, seed, pooled = (
+                    self._dummy_batch(spec)
+                )
                 self._run_bucket_sync(
-                    spec, False, frames, frames, embeds, strength, guidance, cn, seed
+                    spec, False, frames, frames, embeds, strength, guidance, cn, seed,
+                    pooled_embeds=pooled,
                 )
 
     def _dummy_batch(self, spec):
@@ -250,8 +258,11 @@ class Engine:
 
         b = spec.batch
         frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
-        emb = self._encode_prompt("warmup")
+        emb, pooled1 = self._encode_prompt("warmup")
         embeds = jnp.concatenate([emb] * b, axis=0)
+        pooled = None
+        if self.bundle.clip2_cfg is not None:
+            pooled = jnp.concatenate([pooled1] * b, axis=0)
         return (
             frames,
             embeds,
@@ -259,6 +270,7 @@ class Engine:
             np.full((b,), 5.0, np.float32),
             np.full((b,), 2.0, np.float32),
             np.arange(b, dtype=np.int32),
+            pooled,
         )
 
     def _run_bucket_sync(
@@ -274,6 +286,7 @@ class Engine:
         seed,
         warm_latents=None,
         warm_alpha=None,
+        pooled_embeds=None,
     ):
         import jax
 
@@ -293,6 +306,8 @@ class Engine:
             kwargs = {}
             if warm_latents is not None:
                 kwargs = {"warm_latents": warm_latents, "warm_alpha": warm_alpha}
+            if pooled_embeds is not None:
+                kwargs["pooled_embeds"] = pooled_embeds
             out, latents = prog(
                 self.bundle.params, frames, embeds, strength, guidance, scale, seed,
                 **kwargs,
@@ -431,9 +446,12 @@ class Engine:
                 warm_alpha[i] = wa
                 warm_lat[i] = st.last_latents
             emb_list.append(self._encode_prompt(str(st.options["prompt"])))
-        pad_emb = emb_list[-1]
-        emb_list.extend([pad_emb] * (b - len(items)))
-        embeds = jnp.concatenate(emb_list, axis=0)
+        emb_list.extend([emb_list[-1]] * (b - len(items)))
+        embeds = jnp.concatenate([e for e, _ in emb_list], axis=0)
+        pooled = None
+        if self.bundle.clip2_cfg is not None and not ref_mode:
+            # SDXL text_time micro-conditioning consumes the pooled embeds
+            pooled = jnp.concatenate([p for _, p in emb_list], axis=0)
 
         self.queue.mark_gen_start()
         t0 = time.perf_counter()
@@ -452,6 +470,7 @@ class Engine:
                 seed,
                 None if ref_mode else warm_lat,
                 None if ref_mode else warm_alpha,
+                pooled,
             )
         except Exception:
             # a failed batch must not kill the loop (the reference's
