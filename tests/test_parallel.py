@@ -102,6 +102,38 @@ def test_sharded_serving_with_tp(rng):
     assert np.isfinite(np.asarray(lat)).all()
 
 
+def test_sharded_serving_sdxl_pooled_and_warm(rng):
+    """SDXL pooled embeds + temporal warm-start thread through the sharded
+    engine (data-axis placement of the optional args)."""
+    from videosd_tpu.parallel.serving import ShardedFrameEngine
+
+    bundle = ModelBundle.random("tiny-xl", dtype=jnp.float32, with_controlnet=True)
+    spec = FrameSpec(batch=8, height=32, width=32, steps=1)
+    enc = build_prompt_encoder(bundle)
+    ids = jnp.asarray(bundle.tokenizer(["x"]), jnp.int32)
+    ctx, pooled1 = enc(bundle.params, ids)
+    embeds = jnp.concatenate([ctx] * 8, axis=0)
+    pooled = jnp.concatenate([pooled1] * 8, axis=0)
+    frames = jnp.asarray(rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8))
+    args = (
+        jnp.full((8,), 0.6, jnp.float32),
+        jnp.full((8,), 5.0, jnp.float32),
+        jnp.full((8,), 2.0, jnp.float32),
+        jnp.arange(8, dtype=jnp.int32),
+    )
+    eng = ShardedFrameEngine(bundle, n_devices=8, model_parallel=1)
+    out, lat = eng.run(spec, frames, embeds, *args, pooled_embeds=pooled)
+    assert out.shape == (8, 32, 32, 3)
+    # second frame warm-started from the first's latents
+    out2, _ = eng.run(
+        spec, frames, embeds, *args,
+        pooled_embeds=pooled,
+        warm_latents=lat,
+        warm_alpha=jnp.full((8,), 0.5, jnp.float32),
+    )
+    assert np.isfinite(np.asarray(out2).astype(np.float32)).all()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from videosd_tpu.io.checkpoint import load_bundle_params, save_bundle
 

@@ -103,6 +103,33 @@ def test_engine_single_stream_end_to_end(rng):
     asyncio.run(run())
 
 
+def test_engine_sdxl_family_serving(rng):
+    """SDXL-topology bundles serve through the engine: pooled embeds from
+    the prompt cache reach the text_time program."""
+    import jax.numpy as jnp
+
+    from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+    from videosd_tpu.runtime.engine import Engine
+
+    async def run():
+        bundle = ModelBundle.random("tiny-xl", dtype=jnp.float32, with_controlnet=True)
+        eng = Engine(
+            bundle=bundle, max_streams=2, max_batch=2, deadline_ms=5, frame_hw=(32, 32)
+        )
+        eng.start()
+        try:
+            st = eng.open_stream({"height": 32, "width": 32, "steps": 1})
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            out = await asyncio.wait_for(
+                eng.submit_frame(st.stream_id, frame), timeout=300
+            )
+            assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
+
+
 def test_engine_multi_stream_batching(rng):
     async def run():
         eng = _mk_engine()

@@ -63,22 +63,39 @@ class ShardedFrameEngine:
             mesh = self.mesh
             data = NamedSharding(mesh, P("data"))
 
-            def sharded(params, frame_u8, embeds, strength, guidance, cn, seed):
-                args = [
-                    jax.device_put(frame_u8, data),
-                    jax.device_put(embeds, data),
-                    jax.device_put(strength, data),
-                    jax.device_put(guidance, data),
-                    jax.device_put(cn, data),
-                    jax.device_put(seed, data),
-                ]
-                return base(params, *args)
+            def sharded(
+                params,
+                frame_u8,
+                embeds,
+                strength,
+                guidance,
+                cn,
+                seed,
+                warm_latents=None,
+                warm_alpha=None,
+                pooled_embeds=None,
+            ):
+                put = lambda x: None if x is None else jax.device_put(x, data)  # noqa: E731
+                return base(
+                    params,
+                    put(frame_u8),
+                    put(embeds),
+                    put(strength),
+                    put(guidance),
+                    put(cn),
+                    put(seed),
+                    warm_latents=put(warm_latents),
+                    warm_alpha=put(warm_alpha),
+                    pooled_embeds=put(pooled_embeds),
+                )
 
             self._programs[spec] = sharded
             prog = sharded
         return prog
 
-    def run(self, spec: FrameSpec, frame_u8, embeds, strength, guidance, cn, seed):
+    def run(self, spec: FrameSpec, frame_u8, embeds, strength, guidance, cn, seed, **kw):
+        """kw: warm_latents/warm_alpha (temporal warm-start) and
+        pooled_embeds (SDXL text_time), all sharded over the data axis."""
         return self.program(spec)(
-            self.params, frame_u8, embeds, strength, guidance, cn, seed
+            self.params, frame_u8, embeds, strength, guidance, cn, seed, **kw
         )
