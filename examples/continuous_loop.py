@@ -32,6 +32,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    # sitecustomize force-registers the TPU backend; honor JAX_PLATFORMS=cpu
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from videosd_tpu.pipelines.lcm_img2img import (

@@ -39,7 +39,12 @@ def main(argv=None):
     p.add_argument("--controlnet-weights")
     args = p.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
+
+    # sitecustomize force-registers the TPU backend; honor JAX_PLATFORMS=cpu
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from videosd_tpu.pipelines.lcm_img2img import (
         FrameSpec,
