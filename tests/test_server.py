@@ -199,6 +199,38 @@ def test_stt_session_wav_rendering():
     asyncio.run(run())
 
 
+def test_stt_local_fallback_used_when_sidecar_unreachable():
+    """Sidecar down + local model present -> transcript from the local
+    model (audio handed over as float mono at the captured rate)."""
+    from videosd_tpu.server.stt import STTSession
+
+    seen = {}
+
+    def fake_model(audio, rate):
+        seen["n"] = len(audio)
+        seen["rate"] = rate
+        return "hello world"
+
+    s = STTSession(whisper_url="http://localhost:1/asr", local_model=fake_model)
+    s.start()
+    s.add_frame(np.ones(480, np.float32) * 0.25, sample_rate=48000)
+
+    async def run():
+        text = await s.stop_and_transcribe()
+        assert text == "hello world"
+        assert seen == {"n": 480, "rate": 48000}
+
+    asyncio.run(run())
+
+
+def test_stt_resample_length():
+    from videosd_tpu.server.stt import _resample
+
+    out = _resample(np.zeros(48000, np.float32), 48000, 16000)
+    assert len(out) == 16000
+    assert _resample(np.zeros(0, np.float32), 48000, 16000).size == 1
+
+
 def test_profile_endpoint_captures_trace(tmp_path):
     async def run():
         client = await _make_client()
