@@ -227,6 +227,7 @@ $("startBtn").addEventListener("click", async () => {
   if (state.running) {
     state.pc?.close(); state.ws?.close();
     clearInterval(state.sendTimer);
+    stopStatsPolling();
     state.stream?.getTracks().forEach((t) => t.stop());
     state.running = false;
     $("startBtn").textContent = "Start";
@@ -237,11 +238,46 @@ $("startBtn").addEventListener("click", async () => {
     state.options.prompt = $("prompt").value;
     if (state.mode === "webrtc") await startWebrtc(); else await startWs();
     state.running = true;
+    startStatsPolling();
     $("startBtn").textContent = "Stop";
   } catch (err) {
     setStatus(String(err));
   }
 });
+
+/* ------------------------------------------------ stats */
+let statsTimer = null;
+
+function renderStats(s) {
+  const fps = s.avg_gen_time_s > 0 ? (1 / s.avg_gen_time_s).toFixed(1) : "—";
+  const rows = [
+    ["throughput", fps + " gen/s (EMA)"],
+    ["avg gen time", (s.avg_gen_time_s * 1e3).toFixed(1) + " ms"],
+    ["frames in / out / dropped", `${s.frames_in} / ${s.frames_out} / ${s.frames_dropped}`],
+    ["batches (avg fill)", `${s.batches} (${(s.avg_batch_fill * 100).toFixed(0)}%)`],
+    ["streams", s.streams],
+    ["programs compiled", s.programs_compiled],
+  ];
+  for (const [k, v] of Object.entries(s.stages || {})) {
+    rows.push(["stage " + k, (v * 1e3).toFixed(2) + " ms"]);
+  }
+  $("statsTable").querySelector("tbody").innerHTML = rows
+    .map(([k, v]) =>
+      `<tr><td style="color:#9aa4af;padding:3px 6px 3px 0">${k}</td>` +
+      `<td style="text-align:right">${v}</td></tr>`)
+    .join("");
+}
+
+function startStatsPolling() {
+  stopStatsPolling();
+  statsTimer = setInterval(async () => {
+    try {
+      const resp = await fetch(backendBase() + "/stats");
+      renderStats(await resp.json());
+    } catch (e) { /* server away; keep last values */ }
+  }, 2000);
+}
+const stopStatsPolling = () => { clearInterval(statsTimer); statsTimer = null; };
 
 /* ------------------------------------------------ promptgen */
 async function expandPrompt(random) {
