@@ -242,6 +242,10 @@ def test_profile_endpoint_captures_trace(tmp_path):
             import os
 
             assert os.path.isdir(body["trace_dir"])
+            # op-breakdown summary present (CPU traces have no /device:
+            # planes, so ops may be empty — the shape must still hold)
+            assert "summary" in body
+            assert "ops" in body["summary"] or "error" in body["summary"]
         finally:
             await client.close()
 

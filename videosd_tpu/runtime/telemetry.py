@@ -13,7 +13,77 @@ import contextlib
 import sys
 import time
 
-__all__ = ["EMA", "StageTimers", "Telemetry"]
+__all__ = ["EMA", "StageTimers", "Telemetry", "summarize_trace"]
+
+
+def summarize_trace(log_dir: str, top: int = 15) -> dict:
+    """Aggregate a jax.profiler trace into a per-op device-time breakdown.
+
+    Parses the captured xplane.pb (jax.profiler.ProfileData) and sums event
+    durations on the device planes (TPU/CPU-as-device), grouped by op name.
+    Returns {"device_time_ms", "ops": [{"name", "ms", "pct"}, ...]} — the
+    op-level answer to "where does the frame time go" that the reference
+    never had (its only metric is the gentime EMA, server.py:113-114).
+    """
+    import glob
+    import os
+
+    from jax.profiler import ProfileData
+
+    paths = sorted(
+        glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        return {"error": f"no xplane.pb under {log_dir}"}
+    data = ProfileData.from_file(paths[-1])
+
+    # collect (line_name, events) off the device planes; prefer the
+    # op-level "XLA Ops" lines over module-level lines (which contain the
+    # same time aggregated per jit program — summing both double-counts)
+    device_lines: list[tuple[str, list]] = []
+    for plane in data.planes:
+        name = plane.name or ""
+        if not name.startswith("/device:"):
+            continue
+        for line in plane.lines:
+            device_lines.append((line.name or "", list(line.events)))
+    op_lines = [evs for n, evs in device_lines if "op" in n.lower()]
+    chosen = op_lines if op_lines else [evs for _, evs in device_lines]
+
+    totals: dict[str, float] = {}
+    for evs in chosen:
+        for ev in evs:
+            # HLO event names carry the full instruction text; keep the
+            # op name only ("%fusion.123 = ..." -> "%fusion.123")
+            name = ev.name.split(" = ")[0].strip()
+            totals[name] = totals.get(name, 0.0) + ev.duration_ns / 1e6
+    device_ms = sum(totals.values())
+    ops = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+
+    # rollup by op category ("%fusion.123" -> "fusion"): the readable
+    # where-does-the-time-go view
+    import re
+
+    by_type: dict[str, float] = {}
+    for n, ms in totals.items():
+        base = re.sub(r"[.\-]\d+$", "", n.lstrip("%"))
+        by_type[base] = by_type.get(base, 0.0) + ms
+
+    def pct(ms):
+        return round(100.0 * ms / device_ms, 1) if device_ms else 0.0
+
+    return {
+        "device_time_ms": round(device_ms, 3),
+        "by_type": [
+            {"name": n, "ms": round(ms, 3), "pct": pct(ms)}
+            for n, ms in sorted(by_type.items(), key=lambda kv: -kv[1])[:top]
+        ],
+        "ops": [
+            {"name": n[:120], "ms": round(ms, 3), "pct": pct(ms)}
+            for n, ms in ops
+        ],
+    }
 
 
 class EMA:

@@ -211,7 +211,15 @@ async def profile_handler(request: web.Request) -> web.Response:
     tel.start_trace(log_dir)
     await asyncio.sleep(seconds)
     tel.stop_trace()
-    return web.json_response({"trace_dir": log_dir, "seconds": seconds})
+    body = {"trace_dir": log_dir, "seconds": seconds}
+    if request.query.get("summary", "1") != "0":
+        from videosd_tpu.runtime.telemetry import summarize_trace
+
+        loop = asyncio.get_running_loop()
+        body["summary"] = await loop.run_in_executor(
+            None, summarize_trace, log_dir
+        )
+    return web.json_response(body)
 
 
 # ----------------------------------------------------------------- app
