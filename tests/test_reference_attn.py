@@ -81,3 +81,17 @@ def test_reference_image_influences_output(bundle, embeds, rng):
     out_a, _ = prog(bundle.params, frame, ref_a, embeds, *_opts())
     out_b, _ = prog(bundle.params, frame, ref_b, embeds, *_opts())
     assert np.abs(np.asarray(out_a).astype(int) - np.asarray(out_b).astype(int)).max() > 0
+
+
+def test_reference_program_sdxl_family(rng):
+    """text_time micro-conditioning threads through both UNet passes."""
+    xb = ModelBundle.random("tiny-xl", dtype=jnp.float32, with_controlnet=False)
+    enc = build_prompt_encoder(xb)
+    ids = jnp.asarray(xb.tokenizer(["style"]), jnp.int32)
+    ctx, pooled = enc(xb.params, ids)
+    prog = build_reference_program(xb, SPEC)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    ref = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    out, lat = prog(xb.params, frame, ref, ctx, *_opts(), pooled_embeds=pooled)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(lat)).all()

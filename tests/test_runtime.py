@@ -130,6 +130,38 @@ def test_engine_sdxl_family_serving(rng):
     asyncio.run(run())
 
 
+def test_engine_sdxl_ref_mode_serving(rng):
+    """ref=true on an SDXL-topology stream: the batcher must hand pooled
+    embeds to the reference-attention program (text_time in both passes)."""
+    import jax.numpy as jnp
+
+    from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+    from videosd_tpu.runtime.engine import Engine
+
+    async def run():
+        bundle = ModelBundle.random("tiny-xl", dtype=jnp.float32, with_controlnet=False)
+        eng = Engine(
+            bundle=bundle, max_streams=2, max_batch=2, deadline_ms=5, frame_hw=(32, 32)
+        )
+        eng.start()
+        try:
+            st = eng.open_stream(
+                {"height": 32, "width": 32, "steps": 1, "ref": True}
+            )
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            out1 = await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 300)
+            out2 = await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 300)
+            # first submit resolves with the black init frame while the ref
+            # program generates; the second must carry real output
+            assert out1.shape == (32, 32, 3)
+            assert out2.shape == (32, 32, 3) and int(out2.sum()) > 0
+            assert eng.telemetry.frames_out >= 1
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
+
+
 def test_engine_multi_stream_batching(rng):
     async def run():
         eng = _mk_engine()

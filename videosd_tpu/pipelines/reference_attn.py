@@ -96,6 +96,7 @@ def reference_frame_program(
     guidance_scale,
     style_fidelity,
     seed,
+    pooled_embeds=None,
 ):
     """Reference-mode frame step.
 
@@ -143,6 +144,20 @@ def reference_frame_program(
     denoised = latents0
     sf = style_fidelity[:, None, None]  # blend over [B, tokens, ch]
 
+    # SDXL text_time micro-conditioning (same as lcm_img2img.frame_program)
+    added_cond = None
+    if unet_cfg.addition_embed_type == "text_time":
+        if pooled_embeds is None:
+            raise ValueError("sdxl family requires pooled_embeds")
+        time_ids = jnp.tile(
+            jnp.asarray(
+                [[spec.height, spec.width, 0, 0, spec.height, spec.width]],
+                jnp.float32,
+            ),
+            (B, 1),
+        )
+        added_cond = {"text_embeds": pooled_embeds.astype(dtype), "time_ids": time_ids}
+
     for s in range(S):
         t = ts[:, s]
         t_prev = ts[:, s + 1] if s + 1 < S else t
@@ -163,6 +178,7 @@ def reference_frame_program(
             t,
             context,
             timestep_cond=w_emb,
+            added_cond_kwargs=added_cond,
             bank_out=bank_out,
             adain=adain_w,
         )
@@ -183,6 +199,7 @@ def reference_frame_program(
             t,
             context,
             timestep_cond=w_emb,
+            added_cond_kwargs=added_cond,
             bank=bank,
             adain=adain_r,
         )
@@ -211,7 +228,10 @@ def build_reference_program(bundle: ModelBundle, spec: FrameSpec):
     f(params, frame_u8, ref_u8, embeds, strength, guidance,
     style_fidelity, seed)."""
 
-    def wrapper(params, frame_u8, ref_u8, prompt_embeds, strength, guidance, sf, seed):
+    def wrapper(
+        params, frame_u8, ref_u8, prompt_embeds, strength, guidance, sf, seed,
+        pooled_embeds=None,
+    ):
         return reference_frame_program(
             params,
             spec,
@@ -228,6 +248,7 @@ def build_reference_program(bundle: ModelBundle, spec: FrameSpec):
             guidance,
             sf,
             seed,
+            pooled_embeds=pooled_embeds,
         )
 
     return jax.jit(wrapper)

@@ -292,6 +292,9 @@ class Engine:
 
         prog = self._get_program(spec, ref_mode=ref_mode)
         if ref_mode:
+            kwargs = {}
+            if pooled_embeds is not None:
+                kwargs["pooled_embeds"] = pooled_embeds
             out, latents = prog(
                 self.bundle.params,
                 frames,
@@ -301,6 +304,7 @@ class Engine:
                 guidance,
                 scale,
                 seed,
+                **kwargs,
             )
         else:
             kwargs = {}
@@ -449,7 +453,7 @@ class Engine:
         emb_list.extend([emb_list[-1]] * (b - len(items)))
         embeds = jnp.concatenate([e for e, _ in emb_list], axis=0)
         pooled = None
-        if self.bundle.clip2_cfg is not None and not ref_mode:
+        if self.bundle.clip2_cfg is not None:
             # SDXL text_time micro-conditioning consumes the pooled embeds
             pooled = jnp.concatenate([p for _, p in emb_list], axis=0)
 
