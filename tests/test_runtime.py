@@ -185,6 +185,41 @@ def test_engine_multi_stream_batching(rng):
     asyncio.run(run())
 
 
+def test_engine_resolution_snap():
+    """resolution_buckets bounds compiled-program count: requests snap to
+    the nearest bucket; empty buckets = exact sizes (reference parity)."""
+    from videosd_tpu.config import ServerConfig
+    from videosd_tpu.runtime.engine import Engine
+
+    eng = Engine(ServerConfig(resolution_buckets=((512, 512), (768, 768))))
+    assert eng._snap_resolution(500, 500) == (512, 512)
+    assert eng._snap_resolution(768, 512) == (512, 512)  # nearest by area
+    assert eng._snap_resolution(720, 720) == (768, 768)
+    assert eng._snap_resolution(1024, 1024) == (768, 768)
+    eng2 = Engine(ServerConfig())
+    assert eng2._snap_resolution(320, 240) == (320, 240)
+
+
+def test_engine_stream_slots_recycle():
+    """Closed streams return their mailbox slot: a long-running server must
+    accept unlimited SEQUENTIAL sessions with a bounded concurrent pool."""
+    async def run():
+        eng = _mk_engine()  # max_streams=4
+        for _ in range(10):
+            st = eng.open_stream({})
+            eng.close_stream(st.stream_id)
+        # concurrent limit still enforced
+        sts = [eng.open_stream({}) for _ in range(4)]
+        import pytest
+
+        with pytest.raises(RuntimeError):
+            eng.open_stream({})
+        for st in sts:
+            eng.close_stream(st.stream_id)
+
+    asyncio.run(run())
+
+
 def test_engine_option_update_coercion():
     async def run():
         eng = _mk_engine()

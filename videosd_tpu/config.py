@@ -141,8 +141,12 @@ class ServerConfig:
     # mesh axis sizes; data * model must equal `gpus`
     mesh_data: int | None = None
     mesh_model: int = 1
-    # static compile buckets
-    resolution_buckets: tuple = ((512, 512), (768, 768))
+    # static compile buckets: when non-empty, requested stream resolutions
+    # snap to the nearest (h, w) bucket — bounds the number of compiled
+    # programs (each fresh resolution is a multi-minute XLA compile, a DoS
+    # vector the eager GPU reference doesn't have).  Empty = honor exact
+    # requested sizes (reference-parity behavior, used by tests).
+    resolution_buckets: tuple = ()
     batch_buckets: tuple = (1, 2, 4, 8)
     # micro-batcher deadline (ms) before a partial batch is cut
     batch_deadline_ms: float = 10.0

@@ -88,7 +88,10 @@ class Engine:
         self.telemetry = Telemetry()
         self.queue = FrameQueue(max_streams, frame_hw[0] * frame_hw[1] * 3)
         self.streams: dict[int, StreamState] = {}
-        self._next_stream = 0
+        # mailbox slots are a fixed pool; closed streams recycle their slot
+        # (a monotonically increasing id would refuse new sessions after
+        # max_streams TOTAL connections over the server's lifetime)
+        self._free_slots = list(range(max_streams))
         self._programs: dict[Any, Any] = {}
         self._prompt_cache: dict[str, Any] = {}
         self._encoder = None
@@ -125,10 +128,9 @@ class Engine:
     # ------------------------------------------------------------ streams
 
     def open_stream(self, options: dict[str, Any] | None = None) -> StreamState:
-        sid = self._next_stream
-        self._next_stream += 1
-        if sid >= self.max_streams:
+        if not self._free_slots:
             raise RuntimeError("max_streams exceeded")
+        sid = self._free_slots.pop(0)
         st = StreamState(sid, options or {})
         self.streams[sid] = st
         return st
@@ -140,6 +142,12 @@ class Engine:
             for w in st.waiters:
                 if not w.done():
                     w.cancel()
+            # drain any frame left in the mailbox so the next occupant of
+            # this slot doesn't inherit a stale frame, then recycle
+            if self.queue.has_fresh(sid):
+                buf = np.empty((*self.frame_hw, 3), np.uint8)
+                self.queue.take(sid, buf)
+            self._free_slots.append(sid)
 
     def update_options(self, sid: int, message: dict[str, Any]):
         """Data-channel option merge with the reference coercion table
@@ -321,6 +329,19 @@ class Engine:
 
     # ------------------------------------------------------------ batcher
 
+    def _snap_resolution(self, h: int, w: int) -> tuple[int, int]:
+        """Snap a requested (h, w) to the nearest configured resolution
+        bucket (by area then aspect difference).  No-op when no buckets are
+        configured — each distinct resolution then compiles its own
+        program, exactly like the reference honors arbitrary sizes."""
+        buckets = tuple(self.config.resolution_buckets or ())
+        if not buckets:
+            return h, w
+        return min(
+            (tuple(b) for b in buckets),
+            key=lambda b: (abs(b[0] * b[1] - h * w), abs(b[0] - h) + abs(b[1] - w)),
+        )
+
     @staticmethod
     def _bucket_batch(n: int, buckets=(1, 2, 4, 8, 16)) -> int:
         for b in buckets:
@@ -379,10 +400,13 @@ class Engine:
             # group by shape/mode bucket (steps, h, w, ref, controlnet)
             groups: dict[Any, list] = {}
             for st, buf, ts in ready:
+                h, w = self._snap_resolution(
+                    int(st.options["height"]), int(st.options["width"])
+                )
                 key = (
                     int(st.options["steps"]),
-                    int(st.options["height"]),
-                    int(st.options["width"]),
+                    h,
+                    w,
                     bool(st.options.get("ref")),
                     bool(st.options.get("controlnet", True)),
                 )
