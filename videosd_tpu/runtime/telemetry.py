@@ -48,7 +48,14 @@ def summarize_trace(log_dir: str, top: int = 15) -> dict:
             continue
         for line in plane.lines:
             device_lines.append((line.name or "", list(line.events)))
-    op_lines = [evs for n, evs in device_lines if "op" in n.lower()]
+    # "XLA Ops" is the synchronous compute timeline (sums to wall device
+    # time); "Async XLA Ops" holds DMA windows that OVERLAP compute —
+    # including them double-counts (measured 3x inflation on the flagship)
+    op_lines = [
+        evs
+        for n, evs in device_lines
+        if "op" in n.lower() and not n.lower().startswith("async")
+    ]
     chosen = op_lines if op_lines else [evs for _, evs in device_lines]
 
     totals: dict[str, float] = {}
