@@ -270,6 +270,18 @@ def transformer2d_init(key, cfg: UNetConfig, channels: int, depth: int) -> Param
     }
 
 
+def _proj_as_linear(p: Params) -> Params:
+    """View a 1x1-conv param dict ([1,1,C,C] kernel) as a linear param dict
+    ([C,C] kernel); linear params pass through unchanged."""
+    k = p["kernel"]
+    if k.ndim == 4:
+        out = {"kernel": k.reshape(k.shape[2], k.shape[3])}
+        if "bias" in p:
+            out["bias"] = p["bias"]
+        return out
+    return p
+
+
 def transformer2d_apply(
     p: Params, cfg: UNetConfig, x, context, *, bank=None, bank_out=None
 ):
@@ -283,23 +295,21 @@ def transformer2d_apply(
     heads = cfg.num_heads(c)
     residual = x
     h = group_norm(p["norm"], x, groups=cfg.norm_num_groups, eps=1e-6)
-    if cfg.use_linear_projection:
-        h = h.reshape(b, hh * ww, c)
-        h = linear(p["proj_in"], h)
-    else:
-        h = conv2d(p["proj_in"], h, padding=0)
-        h = h.reshape(b, hh * ww, c)
+    # 1x1-conv projections (SD1.5 checkpoints) are applied as linears on
+    # the token view — mathematically identical, and it keeps the whole
+    # transformer on one dot-friendly layout: the conv form made XLA
+    # insert 5 MB fp32 layout copies ({3,2,1,0}->{3,0,2,1} T(1,128))
+    # between every dot output and the conv projection (profiled at
+    # ~11 ms/frame of convert_reduce fusions on the flagship).
+    h = h.reshape(b, hh * ww, c)
+    h = linear(_proj_as_linear(p["proj_in"]), h)
     for blk in p["transformer_blocks"]:
         if bank_out is not None:
             bank_out.append(layer_norm(blk["norm1"], h))
         self_kv = bank.next() if bank is not None else None
         h = transformer_block_apply(blk, cfg, h, context, num_heads=heads, self_kv=self_kv)
-    if cfg.use_linear_projection:
-        h = linear(p["proj_out"], h)
-        h = h.reshape(b, hh, ww, c)
-    else:
-        h = h.reshape(b, hh, ww, c)
-        h = conv2d(p["proj_out"], h, padding=0)
+    h = linear(_proj_as_linear(p["proj_out"]), h)
+    h = h.reshape(b, hh, ww, c)
     return h + residual
 
 
