@@ -66,8 +66,21 @@ def conv2d_init(
     return p
 
 
-def conv2d(params: Params, x, *, stride: int = 1, padding: int | str = "SAME"):
-    """NHWC conv. ``padding`` is SAME/VALID or an explicit symmetric int."""
+def conv2d(
+    params: Params,
+    x,
+    *,
+    stride: int = 1,
+    padding: int | str = "SAME",
+    f32_out: bool = True,
+):
+    """NHWC conv. ``padding`` is SAME/VALID or an explicit symmetric int.
+
+    ``f32_out=True`` materializes fp32 outputs + fp32 bias adds (measured
+    faster inside the UNet — XLA fuses the converts and picks better
+    layouts); ``f32_out=False`` keeps the compute dtype end to end (wins
+    for pixel-resolution tensors, see models/taesd.py).  MXU accumulation
+    is fp32 either way for bf16 operands."""
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]
     else:
@@ -79,10 +92,10 @@ def conv2d(params: Params, x, *, stride: int = 1, padding: int | str = "SAME"):
         window_strides=(stride, stride),
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if f32_out else None,
     )
     if "bias" in params:
-        y = y + params["bias"].astype(jnp.float32)
+        y = y + params["bias"].astype(jnp.float32 if f32_out else y.dtype)
     return y.astype(x.dtype)
 
 

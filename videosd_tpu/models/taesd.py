@@ -18,9 +18,20 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from videosd_tpu.models.layers import Params, conv2d, conv2d_init, upsample_nearest2d
+import functools
+
+from videosd_tpu.models.layers import Params, conv2d_init, upsample_nearest2d
+from videosd_tpu.models.layers import conv2d as _conv2d
 
 __all__ = ["TAESDConfig", "taesd_init", "taesd_encode", "taesd_decode"]
+
+# TAESD works at PIXEL resolution (512x512x64 activations = 32 MB bf16);
+# fp32 conv outputs (layers.conv2d default) materialize 64 MB per conv
+# before converting back — profiled as the dominant add_convert/copy cost
+# outside the UNet.  In the UNet the fp32 epilogue measured FASTER (layout
+# effects, see PERF.md), so compute-dtype outputs stay TAESD-local.  The
+# MXU still accumulates fp32 internally for bf16 operands.
+conv2d = functools.partial(_conv2d, f32_out=False)
 
 
 @dataclasses.dataclass(frozen=True)
