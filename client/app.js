@@ -180,14 +180,23 @@ async function startWs() {
   const outCtx = out.getContext("2d");
   let inflight = false;
 
+  const useJpeg = $("jpegTransport").checked;
   ws.onopen = () => {
+    if (useJpeg) state.options.jpeg = true;
     ws.send(JSON.stringify({ type: "init", options: state.options }));
-    setStatus("ws connected " + size.width + "x" + size.height);
+    setStatus("ws connected " + size.width + "x" + size.height + (useJpeg ? " (jpeg)" : ""));
     state.sendTimer = setInterval(() => {
       if (inflight || ws.readyState !== WebSocket.OPEN) return;
       const w = size.width, h = size.height;
       cap.width = w; cap.height = h;
       capCtx.drawImage(video, 0, 0, w, h);
+      if (useJpeg) {
+        // ~12x less upstream bandwidth than raw RGB24
+        inflight = true;
+        cap.toBlob((blob) => blob && blob.arrayBuffer().then((b) => ws.send(b)),
+                   "image/jpeg", 0.85);
+        return;
+      }
       const rgba = capCtx.getImageData(0, 0, w, h).data;
       const rgb = new Uint8Array(4 + w * h * 3);
       new DataView(rgb.buffer).setUint16(0, h, true);
@@ -207,6 +216,14 @@ async function startWs() {
       return;
     }
     inflight = false;
+    const bytes = new Uint8Array(e.data);
+    if (bytes[0] === 0xff && bytes[1] === 0xd8) { // JPEG reply
+      createImageBitmap(new Blob([e.data], { type: "image/jpeg" })).then((bmp) => {
+        out.width = bmp.width; out.height = bmp.height;
+        outCtx.drawImage(bmp, 0, 0);
+      });
+      return;
+    }
     const dv = new DataView(e.data);
     const h = dv.getUint16(0, true), w = dv.getUint16(2, true);
     const rgb = new Uint8Array(e.data, 4);

@@ -127,6 +127,47 @@ def test_ws_frame_roundtrip(rng):
     asyncio.run(run())
 
 
+def test_ws_jpeg_roundtrip(rng):
+    """JPEG frames in (SOI-detected), JPEG blobs out when jpeg option set."""
+    import io
+
+    from PIL import Image
+
+    async def run():
+        client = await _make_client()
+        try:
+            ws = await client.ws_connect("/ws")
+            await ws.send_str(
+                json.dumps(
+                    {
+                        "type": "init",
+                        "options": {
+                            "height": 32, "width": 32, "steps": 1, "jpeg": True,
+                        },
+                    }
+                )
+            )
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(frame).save(buf, "JPEG", quality=90)
+            await ws.send_bytes(buf.getvalue())
+            msg = await asyncio.wait_for(ws.receive(), timeout=180)
+            assert msg.type.name == "BINARY"
+            assert msg.data[:2] == b"\xff\xd8"  # JPEG reply
+            out = Image.open(io.BytesIO(msg.data))
+            assert out.size == (32, 32)
+
+            # corrupt JPEG -> error, connection stays up
+            await ws.send_bytes(b"\xff\xd8garbage")
+            emsg = await asyncio.wait_for(ws.receive_json(), timeout=30)
+            assert emsg["type"] == "error"
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
 def test_ws_bad_frame_size():
     async def run():
         client = await _make_client()

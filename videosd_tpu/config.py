@@ -50,6 +50,7 @@ _OPTION_COERCIONS = {
     # pass through, so reference clients are unaffected)
     "similarity_threshold": float,
     "warm_alpha": float,
+    "jpeg": bool,  # WS transport: server returns JPEG blobs
 }
 
 _OPTION_DEFAULTS = {

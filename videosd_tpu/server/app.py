@@ -123,7 +123,12 @@ async def ws_handler(request: web.Request) -> web.WebSocketResponse:
       client -> text JSON {"type":"prompt", ...changed keys...}   (same as
                 the "prompt" data channel, server.py:166-197)
       client -> binary: u16 height, u16 width, raw RGB24 frame
-      server -> binary: u16 height, u16 width, raw RGB24 diffused frame
+                OR a JPEG blob (detected by the FFD8 SOI marker) — raw
+                RGB24 at 512x512x15fps is ~12 MB/s, impractical beyond
+                localhost; JPEG brings it to ~1 MB/s (the reference's
+                WebRTC transport used VP8 for the same reason)
+      server -> binary: u16 height, u16 width, raw RGB24 diffused frame,
+                OR a JPEG blob when the stream option "jpeg" is truthy
       client -> text JSON {"type":"record","action":"start"|"stop"}
       server -> text JSON {"type":"transcript","text":...}
     """
@@ -170,17 +175,38 @@ async def ws_handler(request: web.Request) -> web.WebSocketResponse:
             elif msg.type == WSMsgType.BINARY:
                 if stream is None:
                     stream = engine.open_stream({})
-                h, w = struct.unpack("<HH", msg.data[:4])
-                frame = np.frombuffer(msg.data[4:], np.uint8)
-                if frame.size != h * w * 3:
-                    await ws.send_json({"type": "error", "error": "bad frame size"})
-                    continue
-                frame = frame.reshape(h, w, 3)
-                if stt is not None and stt.recording:
-                    pass  # audio runs on a separate message kind if needed
+                if msg.data[:2] == b"\xff\xd8":  # JPEG SOI
+                    import io
+
+                    from PIL import Image
+
+                    try:
+                        img = Image.open(io.BytesIO(msg.data)).convert("RGB")
+                    except Exception:
+                        await ws.send_json({"type": "error", "error": "bad jpeg"})
+                        continue
+                    frame = np.asarray(img, np.uint8)
+                else:
+                    h, w = struct.unpack("<HH", msg.data[:4])
+                    frame = np.frombuffer(msg.data[4:], np.uint8)
+                    if frame.size != h * w * 3:
+                        await ws.send_json(
+                            {"type": "error", "error": "bad frame size"}
+                        )
+                        continue
+                    frame = frame.reshape(h, w, 3)
                 out = await engine.submit_frame(stream.stream_id, frame)
-                oh, ow = out.shape[:2]
-                await ws.send_bytes(struct.pack("<HH", oh, ow) + out.tobytes())
+                if stream.options.get("jpeg"):
+                    import io
+
+                    from PIL import Image
+
+                    buf = io.BytesIO()
+                    Image.fromarray(out).save(buf, "JPEG", quality=85)
+                    await ws.send_bytes(buf.getvalue())
+                else:
+                    oh, ow = out.shape[:2]
+                    await ws.send_bytes(struct.pack("<HH", oh, ow) + out.tobytes())
             elif msg.type == WSMsgType.ERROR:
                 break
     finally:
