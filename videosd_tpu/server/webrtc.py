@@ -115,6 +115,12 @@ async def handle_offer(app, params: dict) -> dict:
 
     async def close_pc():
         app["sessions"].discard(pc)
+        # unregister so the per-app closer list doesn't grow with every
+        # session over the server lifetime
+        try:
+            app["pc_closers"].remove(close_pc)
+        except ValueError:
+            pass
         if tracks["video"] is not None:
             tracks["video"].close()
         await pc.close()
