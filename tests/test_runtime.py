@@ -185,6 +185,35 @@ def test_engine_multi_stream_batching(rng):
     asyncio.run(run())
 
 
+def test_engine_prompt_interpolation():
+    """prompt_blend_frames crossfades embeddings on prompt change
+    (BASELINE config 5): starts at the old embedding, converges to the
+    new one, monotonically."""
+    eng = _mk_engine()
+    st = eng.open_stream({"prompt": "a cat", "prompt_blend_frames": 3})
+    e_cat = np.asarray(eng._stream_embeds(st)[0])
+    e_cat2 = np.asarray(eng._stream_embeds(st)[0])
+    np.testing.assert_array_equal(e_cat, e_cat2)  # stable without change
+
+    eng.update_options(st.stream_id, {"prompt": "a dog"})
+    e_dog = np.asarray(eng._encode_prompt("a dog")[0])
+    seq = [np.asarray(eng._stream_embeds(st)[0]) for _ in range(5)]
+    # frame 0 of the blend equals the old embedding; then moves toward new
+    np.testing.assert_allclose(seq[0], e_cat, atol=1e-6)
+    d = [float(np.linalg.norm(s - e_dog)) for s in seq]
+    assert d[0] > d[1] > d[2]
+    np.testing.assert_allclose(seq[3], e_dog, atol=1e-6)  # blend done
+    np.testing.assert_allclose(seq[4], e_dog, atol=1e-6)
+
+    # blend disabled -> hard cut
+    st2 = eng.open_stream({"prompt": "a cat"})
+    eng._stream_embeds(st2)
+    eng.update_options(st2.stream_id, {"prompt": "a dog"})
+    np.testing.assert_allclose(
+        np.asarray(eng._stream_embeds(st2)[0]), e_dog, atol=1e-6
+    )
+
+
 def test_engine_resolution_snap():
     """resolution_buckets bounds compiled-program count: requests snap to
     the nearest bucket; empty buckets = exact sizes (reference parity)."""

@@ -51,6 +51,7 @@ _OPTION_COERCIONS = {
     "similarity_threshold": float,
     "warm_alpha": float,
     "jpeg": bool,  # WS transport: server returns JPEG blobs
+    "prompt_blend_frames": int,  # crossfade embeddings on prompt change
 }
 
 _OPTION_DEFAULTS = {

@@ -49,6 +49,12 @@ class StreamState:
         self.last_input: np.ndarray | None = None
         self.waiters: list[asyncio.Future] = []
         self.active = True
+        # prompt-interpolation state: crossfade in embedding space when the
+        # prompt changes (BASELINE config 5; option "prompt_blend_frames")
+        self.current_emb = None  # (context, pooled) actually used last tick
+        self.blend_from = None
+        self.blend_left = 0
+        self._last_prompt: str | None = None
 
     def similar_to_last(self, frame: np.ndarray, threshold: float) -> bool:
         """Stochastic-similarity-style skip (StreamDiffusion idea): when the
@@ -240,6 +246,28 @@ class Engine:
                 self._prompt_cache.clear()
             self._prompt_cache[prompt] = cached
         return cached
+
+    def _stream_embeds(self, st: StreamState):
+        """Prompt embeddings for one stream, crossfaded in embedding space
+        when the prompt changes and "prompt_blend_frames" > 0 — a smooth
+        live-prompt interpolation instead of a hard cut."""
+        prompt = str(st.options["prompt"])
+        target = self._encode_prompt(prompt)
+        blend = int(st.options.get("prompt_blend_frames", 0) or 0)
+        if st._last_prompt is not None and prompt != st._last_prompt and blend > 0:
+            st.blend_from = st.current_emb or target
+            st.blend_left = blend
+        st._last_prompt = prompt
+        if st.blend_left > 0 and st.blend_from is not None:
+            t = 1.0 - st.blend_left / (int(st.options.get("prompt_blend_frames", 0)) or st.blend_left)
+            st.blend_left -= 1
+            emb = tuple(
+                (1.0 - t) * a + t * b for a, b in zip(st.blend_from, target)
+            )
+        else:
+            emb = target
+        st.current_emb = emb
+        return emb
 
     def warmup(self, batch_sizes=(1,), steps=(4,), height=512, width=512):
         """Ahead-of-time compile the hot buckets (SURVEY.md §7 "hard parts":
@@ -473,7 +501,7 @@ class Engine:
             ):
                 warm_alpha[i] = wa
                 warm_lat[i] = st.last_latents
-            emb_list.append(self._encode_prompt(str(st.options["prompt"])))
+            emb_list.append(self._stream_embeds(st))
         emb_list.extend([emb_list[-1]] * (b - len(items)))
         embeds = jnp.concatenate([e for e, _ in emb_list], axis=0)
         pooled = None
