@@ -284,9 +284,16 @@ class Engine:
                 frames, embeds, strength, guidance, cn, seed, pooled = (
                     self._dummy_batch(spec)
                 )
+                # match the batcher's EXACT call signature (it always
+                # passes warm arrays) — a warmup without them compiles a
+                # different program and the first real batch stalls anyway
+                warm_lat = np.zeros(
+                    (b, height // 8, width // 8, 4), np.float32
+                )
+                warm_alpha = np.zeros((b,), np.float32)
                 self._run_bucket_sync(
                     spec, False, frames, frames, embeds, strength, guidance, cn, seed,
-                    pooled_embeds=pooled,
+                    warm_lat, warm_alpha, pooled,
                 )
 
     def _dummy_batch(self, spec):
@@ -353,7 +360,10 @@ class Engine:
                 **kwargs,
             )
         jax.block_until_ready(out)
-        return np.asarray(out), np.asarray(latents)
+        # out must come to the host (it's sent to clients); latents stay
+        # DEVICE-RESIDENT — they only feed the next frame's warm start, and
+        # a host round trip would cost 2 transfers per batch for nothing
+        return np.asarray(out), latents
 
     # ------------------------------------------------------------ batcher
 
@@ -478,7 +488,7 @@ class Engine:
         seed = np.zeros((b,), np.int32)
         lat_shape = (h // 8, w // 8, 4)
         warm_alpha = np.zeros((b,), np.float32)
-        warm_lat = np.zeros((b, *lat_shape), np.float32)
+        warm_rows: list = [None] * b  # None -> zeros; else device-resident
         emb_list = []
         for i, (st, buf, ts) in enumerate(items):
             frames[i] = buf
@@ -497,13 +507,22 @@ class Engine:
             if (
                 wa > 0
                 and st.last_latents is not None
-                and st.last_latents.shape == lat_shape
+                and tuple(st.last_latents.shape) == lat_shape
             ):
                 warm_alpha[i] = wa
-                warm_lat[i] = st.last_latents
+                warm_rows[i] = st.last_latents
             emb_list.append(self._stream_embeds(st))
         emb_list.extend([emb_list[-1]] * (b - len(items)))
         embeds = jnp.concatenate([e for e, _ in emb_list], axis=0)
+        # warm-start latents: device-resident rows stacked on device (fp32
+        # for a stable jit signature); all-cold batches pass host zeros
+        if any(r is not None for r in warm_rows):
+            zero = jnp.zeros(lat_shape, jnp.float32)
+            warm_lat = jnp.stack(
+                [zero if r is None else r.astype(jnp.float32) for r in warm_rows]
+            )
+        else:
+            warm_lat = np.zeros((b, *lat_shape), np.float32)
         pooled = None
         if self.bundle.clip2_cfg is not None:
             # SDXL text_time micro-conditioning consumes the pooled embeds
