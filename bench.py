@@ -18,8 +18,9 @@ import numpy as np
 
 # persistent compile cache: the 4-step 512x512 program is a multi-minute
 # compile on this host; cache it across bench runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from videosd_tpu.compile_cache import setup as _setup_compile_cache
+
+_setup_compile_cache()
 
 BASELINE_FPS = 20.0
 

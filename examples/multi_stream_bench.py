@@ -178,7 +178,7 @@ def main(argv=None):
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from videosd_tpu.compile_cache import setup as _setup_compile_cache; _setup_compile_cache()
     asyncio.run(amain(args))
 
 

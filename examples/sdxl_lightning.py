@@ -50,7 +50,7 @@ def main(argv=None):
     # explicit JAX_PLATFORMS=cpu (e.g. virtual 8-device CPU mesh runs)
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from videosd_tpu.compile_cache import setup as _setup_compile_cache; _setup_compile_cache()
 
     from videosd_tpu.parallel.serving import ShardedFrameEngine
     from videosd_tpu.pipelines.lcm_img2img import (

@@ -16,6 +16,20 @@ TPU-first:
   micro-batcher over fixed shape buckets.
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # This image's sitecustomize force-registers the remote-TPU ("axon")
+    # backend at interpreter start, overriding a JAX_PLATFORMS env var the
+    # user set (e.g. CPU-only test/dev runs).  Re-assert the user's choice
+    # here: config.update works as long as no backend has been used yet.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # backend already initialized — leave it be
+        pass
+
 from videosd_tpu.version import __version__
 
 __all__ = ["__version__"]
