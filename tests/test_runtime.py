@@ -343,3 +343,33 @@ def test_warm_alpha_latents_reused(rng):
             await eng.stop()
 
     asyncio.run(run())
+
+
+def test_hlo_symbols_and_trace_by_block(rng, tmp_path):
+    """/profile symbolization: fusion names map back to model scopes, and
+    summarize_trace groups device time by block when given the map."""
+    from videosd_tpu.runtime.telemetry import summarize_trace
+
+    async def run():
+        eng = _mk_engine()
+        eng.start()
+        try:
+            st = eng.open_stream({"height": 32, "width": 32, "steps": 1})
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+            eng.telemetry.start_trace(str(tmp_path))
+            await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+            await asyncio.wait_for(eng.submit_frame(st.stream_id, 255 - frame), 120)
+            eng.telemetry.stop_trace()
+            return eng.hlo_symbols()
+        finally:
+            await eng.stop()
+
+    symbols = asyncio.run(run())
+    assert symbols, "no HLO symbols extracted"
+    scopes = set(symbols.values())
+    assert any("unet" in s for s in scopes), scopes
+    summary = summarize_trace(str(tmp_path), symbols=symbols)
+    assert "by_block" in summary, summary.get("error")
+    blocks = {e["name"] for e in summary["by_block"]}
+    assert any(b.startswith("unet") or b == "vae_decode" for b in blocks), blocks

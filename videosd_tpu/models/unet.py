@@ -242,13 +242,16 @@ def transformer_block_apply(
     self-attention context — the functional form of the reference-attention
     mode's banked hidden states (lcm_reference_pipeline.py:498-585).
     """
-    h = layer_norm(p["norm1"], x)
-    kv = h if self_kv is None else jnp.concatenate([h, self_kv], axis=1)
-    x = x + cross_attn_apply(p["attn1"], h, kv, num_heads=num_heads)
-    h = layer_norm(p["norm2"], x)
-    x = x + cross_attn_apply(p["attn2"], h, context, num_heads=num_heads)
-    h = layer_norm(p["norm3"], x)
-    x = x + geglu(p["ff"], h)
+    with jax.named_scope("self_attn"):
+        h = layer_norm(p["norm1"], x)
+        kv = h if self_kv is None else jnp.concatenate([h, self_kv], axis=1)
+        x = x + cross_attn_apply(p["attn1"], h, kv, num_heads=num_heads)
+    with jax.named_scope("cross_attn"):
+        h = layer_norm(p["norm2"], x)
+        x = x + cross_attn_apply(p["attn2"], h, context, num_heads=num_heads)
+    with jax.named_scope("ff"):
+        h = layer_norm(p["norm3"], x)
+        x = x + geglu(p["ff"], h)
     return x
 
 
@@ -348,12 +351,14 @@ def down_block_apply(
 ):
     res_samples = []
     for i, rn in enumerate(p["resnets"]):
-        x = resnet_apply(rn, cfg, x, temb)
+        with jax.named_scope(f"res{i}"):
+            x = resnet_apply(rn, cfg, x, temb)
         # .get: converted checkpoints omit the key for attention-less blocks
         if p.get("attentions"):
-            x = transformer2d_apply(
-                p["attentions"][i], cfg, x, context, bank=bank, bank_out=bank_out
-            )
+            with jax.named_scope(f"tf{i}"):
+                x = transformer2d_apply(
+                    p["attentions"][i], cfg, x, context, bank=bank, bank_out=bank_out
+                )
         if adain is not None:
             x = adain(x)
         res_samples.append(x)
@@ -423,11 +428,13 @@ def up_block_apply(
     for i, rn in enumerate(p["resnets"]):
         res = res_samples.pop()
         x = jnp.concatenate([x, res], axis=-1)
-        x = resnet_apply(rn, cfg, x, temb)
+        with jax.named_scope(f"res{i}"):
+            x = resnet_apply(rn, cfg, x, temb)
         if p.get("attentions"):
-            x = transformer2d_apply(
-                p["attentions"][i], cfg, x, context, bank=bank, bank_out=bank_out
-            )
+            with jax.named_scope(f"tf{i}"):
+                x = transformer2d_apply(
+                    p["attentions"][i], cfg, x, context, bank=bank, bank_out=bank_out
+                )
         if adain is not None:
             x = adain(x)
     if "upsamplers" in p:
@@ -565,14 +572,16 @@ def unet_apply(
 
     down_res: list = [x]
     for i, blk in enumerate(params["down_blocks"]):
-        x, res = down_block_apply(
-            blk, cfg, i, x, temb, context, bank=bank, bank_out=bank_out, adain=adain
-        )
+        with jax.named_scope(f"down{i}"):
+            x, res = down_block_apply(
+                blk, cfg, i, x, temb, context, bank=bank, bank_out=bank_out, adain=adain
+            )
         down_res.extend(res)
 
-    x = mid_block_apply(
-        params["mid_block"], cfg, x, temb, context, bank=bank, bank_out=bank_out, adain=adain
-    )
+    with jax.named_scope("mid"):
+        x = mid_block_apply(
+            params["mid_block"], cfg, x, temb, context, bank=bank, bank_out=bank_out, adain=adain
+        )
 
     if down_block_additional_residuals is not None:
         down_res = [
@@ -586,9 +595,10 @@ def unet_apply(
         n = cfg.layers_per_block + 1
         res_samples = down_res[-n:]
         down_res = down_res[:-n]
-        x = up_block_apply(
-            blk, cfg, i, x, res_samples, temb, context, bank=bank, bank_out=bank_out, adain=adain
-        )
+        with jax.named_scope(f"up{i}"):
+            x = up_block_apply(
+                blk, cfg, i, x, res_samples, temb, context, bank=bank, bank_out=bank_out, adain=adain
+            )
 
     x = silu(group_norm(params["conv_norm_out"], x, groups=cfg.norm_num_groups))
     x = conv2d(params["conv_out"], x)

@@ -306,14 +306,18 @@ def frame_program(
     cfgs = (taesd_cfg, vae_cfg)
 
     # --- preprocess: crop geometry (videopipeline.py:91-107) + [0,1]
-    img01 = preprocess_frame(frame_u8, spec.height, spec.width, dtype=jnp.float32)
+    # named scopes label the HLO op metadata so /profile can symbolize
+    # fusions back to model blocks (zero runtime/compile-cache cost)
+    with jax.named_scope("preprocess"):
+        img01 = preprocess_frame(frame_u8, spec.height, spec.width, dtype=jnp.float32)
 
-    ctrl = None
-    if spec.use_controlnet:
-        ctrl = sobel_control_image(img01, spec.canny_low, spec.canny_high).astype(dtype)
+        ctrl = None
+        if spec.use_controlnet:
+            ctrl = sobel_control_image(img01, spec.canny_low, spec.canny_high).astype(dtype)
 
-    img_pm1 = (img01 * 2.0 - 1.0).astype(dtype)
-    latents0 = _encode_latents(cfgs, params, spec, img_pm1)
+        img_pm1 = (img01 * 2.0 - 1.0).astype(dtype)
+    with jax.named_scope("vae_encode"):
+        latents0 = _encode_latents(cfgs, params, spec, img_pm1)
     if warm_latents is not None:
         a = jnp.asarray(warm_alpha, jnp.float32)[:, None, None, None]
         latents0 = (
@@ -382,29 +386,31 @@ def frame_program(
             or (s + 1) / S > spec.control_guidance_end
         )
         if spec.use_controlnet and keep > 0.0:
-            down_res, mid_res = controlnet_apply(
-                params["controlnet"],
+            with jax.named_scope("controlnet"):
+                down_res, mid_res = controlnet_apply(
+                    params["controlnet"],
+                    unet_cfg,
+                    latents,
+                    t,
+                    context,
+                    ctrl,
+                    conditioning_scale=controlnet_scale * keep,
+                    timestep_cond=w_emb,
+                    added_cond_kwargs=added_cond,
+                )
+
+        with jax.named_scope("unet"):
+            eps = unet_apply(
+                params["unet"],
                 unet_cfg,
                 latents,
                 t,
                 context,
-                ctrl,
-                conditioning_scale=controlnet_scale * keep,
                 timestep_cond=w_emb,
                 added_cond_kwargs=added_cond,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res,
             )
-
-        eps = unet_apply(
-            params["unet"],
-            unet_cfg,
-            latents,
-            t,
-            context,
-            timestep_cond=w_emb,
-            added_cond_kwargs=added_cond,
-            down_block_additional_residuals=down_res,
-            mid_block_additional_residual=mid_res,
-        )
 
         step_noise = jax.vmap(lambda k: elem_noise(k, s + 1))(keys) if S > 1 else None
         new_lat, new_den = step(
@@ -421,8 +427,10 @@ def frame_program(
         latents = jnp.where(m, new_lat, latents)
         denoised = jnp.where(m, new_den, denoised)
 
-    out = _decode_latents(cfgs, params, spec, denoised)
-    return postprocess_image(out), denoised
+    with jax.named_scope("vae_decode"):
+        out = _decode_latents(cfgs, params, spec, denoised)
+    with jax.named_scope("postprocess"):
+        return postprocess_image(out), denoised
 
 
 def build_frame_program(bundle: ModelBundle, spec: FrameSpec):

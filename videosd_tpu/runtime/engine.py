@@ -83,6 +83,11 @@ class Engine:
         frame_hw: tuple[int, int] = (512, 512),
     ):
         self.config = config or ServerConfig()
+        # durable XLA compile cache: frame programs are multi-minute
+        # compiles; also makes hlo_symbols()' AOT relower a cache hit
+        from videosd_tpu.compile_cache import setup as _setup_compile_cache
+
+        _setup_compile_cache()
         self._bundle = bundle
         self.max_streams = max_streams
         self.max_batch = max_batch
@@ -99,6 +104,10 @@ class Engine:
         # max_streams TOTAL connections over the server's lifetime)
         self._free_slots = list(range(max_streams))
         self._programs: dict[Any, Any] = {}
+        # abstract (args, kwargs) shapes per program key, captured at first
+        # dispatch — lets /profile AOT-relower the program to symbolize HLO
+        # fusion names back to model blocks (hlo_symbols)
+        self._program_shapes: dict[Any, Any] = {}
         self._prompt_cache: dict[str, Any] = {}
         self._encoder = None
         self._loop_task: asyncio.Task | None = None
@@ -226,6 +235,43 @@ class Engine:
             self._programs[key] = prog
         return prog
 
+    def _capture_shapes(self, key, args, kwargs):
+        """Remember the abstract (args, kwargs) of a program's first call so
+        hlo_symbols() can AOT-relower it later without holding live buffers."""
+        if key in self._program_shapes:
+            return
+        import jax
+
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), (args, dict(kwargs))
+        )
+        self._program_shapes[key] = abstract
+
+    def hlo_symbols(self) -> dict[str, str]:
+        """{hlo_instruction_name: model_scope_path} over all compiled programs.
+
+        Relowers each dispatched program from its captured abstract shapes
+        and parses ``metadata={op_name="jit(..)/unet/down0/..."}`` out of the
+        optimized HLO.  The XLA compile is a persistent-cache hit (the same
+        program was already compiled), so this is IO-bound, not compute-bound.
+        Collisions across programs (same %fusion.N name) keep the first
+        mapping and mark it ambiguous with a trailing '*'.
+        """
+        from videosd_tpu.runtime.telemetry import parse_hlo_symbols
+
+        symbols: dict[str, str] = {}
+        for key, prog in self._programs.items():
+            shapes = self._program_shapes.get(key)
+            if shapes is None:
+                continue
+            args, kwargs = shapes
+            try:
+                txt = prog.lower(*args, **kwargs).compile().as_text()
+            except Exception:  # pragma: no cover - backend-specific
+                continue
+            parse_hlo_symbols(txt, symbols)
+        return symbols
+
     def _encode_prompt(self, prompt: str):
         """-> (context_embeds, pooled_embeds), cached per prompt string.
 
@@ -334,10 +380,16 @@ class Engine:
         import jax
 
         prog = self._get_program(spec, ref_mode=ref_mode)
+        key = (spec, ref_mode)
         if ref_mode:
             kwargs = {}
             if pooled_embeds is not None:
                 kwargs["pooled_embeds"] = pooled_embeds
+            args = (
+                self.bundle.params, frames, ref_frames, embeds,
+                strength, guidance, scale, seed,
+            )
+            self._capture_shapes(key, args, kwargs)
             out, latents = prog(
                 self.bundle.params,
                 frames,
@@ -355,6 +407,10 @@ class Engine:
                 kwargs = {"warm_latents": warm_latents, "warm_alpha": warm_alpha}
             if pooled_embeds is not None:
                 kwargs["pooled_embeds"] = pooled_embeds
+            args = (
+                self.bundle.params, frames, embeds, strength, guidance, scale, seed,
+            )
+            self._capture_shapes(key, args, kwargs)
             out, latents = prog(
                 self.bundle.params, frames, embeds, strength, guidance, scale, seed,
                 **kwargs,

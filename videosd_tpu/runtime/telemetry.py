@@ -13,10 +13,43 @@ import contextlib
 import sys
 import time
 
-__all__ = ["EMA", "StageTimers", "Telemetry", "summarize_trace"]
+__all__ = [
+    "EMA",
+    "StageTimers",
+    "Telemetry",
+    "parse_hlo_symbols",
+    "summarize_trace",
+]
 
 
-def summarize_trace(log_dir: str, top: int = 15) -> dict:
+def parse_hlo_symbols(hlo_text: str, symbols: dict | None = None) -> dict:
+    """{hlo_instruction_name: scope_path} from optimized-HLO text.
+
+    Reads ``metadata={op_name="jit(..)/unet/down0/..."}`` off each
+    instruction.  Names are normalized without the '%' sigil (trace events
+    on CPU report them bare).  Pass an existing dict to merge several
+    programs; cross-program collisions keep the first mapping and are
+    marked with a trailing '*'.
+    """
+    import re
+
+    symbols = symbols if symbols is not None else {}
+    for line in hlo_text.splitlines():
+        om = re.search(r'op_name="([^"]+)"', line)
+        if not om:
+            continue
+        nm = re.match(r"\s*(?:ROOT\s+)?%?([\w.-]+)\s*=", line)
+        if not nm:
+            continue
+        name, scope = nm.group(1), om.group(1)
+        if name in symbols and symbols[name].rstrip("*") != scope:
+            symbols[name] = symbols[name].rstrip("*") + "*"
+        else:
+            symbols.setdefault(name, scope)
+    return symbols
+
+
+def summarize_trace(log_dir: str, top: int = 15, symbols: dict | None = None) -> dict:
     """Aggregate a jax.profiler trace into a per-op device-time breakdown.
 
     Parses the captured xplane.pb (jax.profiler.ProfileData) and sums event
@@ -24,6 +57,11 @@ def summarize_trace(log_dir: str, top: int = 15) -> dict:
     Returns {"device_time_ms", "ops": [{"name", "ms", "pct"}, ...]} — the
     op-level answer to "where does the frame time go" that the reference
     never had (its only metric is the gentime EMA, server.py:113-114).
+
+    ``symbols``: optional {hlo_instruction_name: scope_path} map (from
+    Engine.hlo_symbols()) — adds a "by_block" rollup grouping device time by
+    model block (unet/down0, controlnet, vae_decode, ...) and annotates the
+    top ops with their block.
     """
     import glob
     import os
@@ -57,13 +95,29 @@ def summarize_trace(log_dir: str, top: int = 15) -> dict:
         if "op" in n.lower() and not n.lower().startswith("async")
     ]
     chosen = op_lines if op_lines else [evs for _, evs in device_lines]
+    if not chosen:
+        # CPU backend: no device planes — HLO op events live on the host
+        # plane's tf_XLA* executor thread lines (names without the "%...="
+        # instruction syntax); used by CPU-mesh tests of this summarizer
+        for plane in data.planes:
+            if not (plane.name or "").startswith("/host:"):
+                continue
+            for line in plane.lines:
+                if (line.name or "").startswith("tf_XLA"):
+                    chosen.append(
+                        [
+                            ev
+                            for ev in line.events
+                            if "::" not in ev.name  # ThreadpoolListener noise
+                        ]
+                    )
 
     totals: dict[str, float] = {}
     for evs in chosen:
         for ev in evs:
             # HLO event names carry the full instruction text; keep the
-            # op name only ("%fusion.123 = ..." -> "%fusion.123")
-            name = ev.name.split(" = ")[0].strip()
+            # op name only ("%fusion.123 = ..." -> "fusion.123")
+            name = ev.name.split(" = ")[0].strip().lstrip("%")
             totals[name] = totals.get(name, 0.0) + ev.duration_ns / 1e6
     device_ms = sum(totals.values())
     ops = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
@@ -74,13 +128,13 @@ def summarize_trace(log_dir: str, top: int = 15) -> dict:
 
     by_type: dict[str, float] = {}
     for n, ms in totals.items():
-        base = re.sub(r"[.\-]\d+$", "", n.lstrip("%"))
+        base = re.sub(r"[.\-]\d+$", "", n)
         by_type[base] = by_type.get(base, 0.0) + ms
 
     def pct(ms):
         return round(100.0 * ms / device_ms, 1) if device_ms else 0.0
 
-    return {
+    out = {
         "device_time_ms": round(device_ms, 3),
         "by_type": [
             {"name": n, "ms": round(ms, 3), "pct": pct(ms)}
@@ -91,6 +145,32 @@ def summarize_trace(log_dir: str, top: int = 15) -> dict:
             for n, ms in ops
         ],
     }
+
+    if symbols:
+        # group device time by model block: take the scope path up to the
+        # first block-level component after the jit(...) prefixes
+        # ("jit(wrapper)/unet/down0/res0/conv" -> "unet/down0")
+        by_block: dict[str, float] = {}
+        unmapped = 0.0
+        for n, ms in totals.items():
+            scope = symbols.get(n)
+            if scope is None:
+                unmapped += ms
+                continue
+            parts = [p for p in scope.split("/") if not p.startswith("jit(")]
+            block = "/".join(parts[:2]) if parts else scope
+            by_block[block] = by_block.get(block, 0.0) + ms
+        if unmapped:
+            by_block["(unmapped)"] = unmapped
+        out["by_block"] = [
+            {"name": n, "ms": round(ms, 3), "pct": pct(ms)}
+            for n, ms in sorted(by_block.items(), key=lambda kv: -kv[1])[:top]
+        ]
+        for op in out["ops"]:
+            sym = symbols.get(op["name"].split(" = ")[0])
+            if sym:
+                op["block"] = sym
+    return out
 
 
 class EMA:

@@ -242,8 +242,15 @@ async def profile_handler(request: web.Request) -> web.Response:
         from videosd_tpu.runtime.telemetry import summarize_trace
 
         loop = asyncio.get_running_loop()
+        symbols = None
+        if request.query.get("symbols", "1") != "0":
+            # symbolize fusion names back to model blocks (unet/down0, ...)
+            # via the compiled programs' HLO op_name metadata
+            symbols = await loop.run_in_executor(
+                None, request.app["engine"].hlo_symbols
+            )
         body["summary"] = await loop.run_in_executor(
-            None, summarize_trace, log_dir
+            None, lambda: summarize_trace(log_dir, symbols=symbols)
         )
     return web.json_response(body)
 
