@@ -373,3 +373,48 @@ def test_hlo_symbols_and_trace_by_block(rng, tmp_path):
     assert "by_block" in summary, summary.get("error")
     blocks = {e["name"] for e in summary["by_block"]}
     assert any(b.startswith("unet") or b == "vae_decode" for b in blocks), blocks
+
+
+def test_steps_change_serves_stale_program_while_compiling(rng):
+    """A live steps change (fresh compile bucket) must not stall the stream:
+    frames are served with the nearest ready program while the new bucket
+    compiles in the background, then dispatch swaps over (the eager-GPU
+    reference never stalls on slider moves, server.py:171-187)."""
+
+    async def run():
+        eng = _mk_engine()
+        served: list[int] = []
+        orig = eng._run_bucket_sync
+
+        def spy(spec, ref_mode, *a, **k):
+            served.append(spec.steps)
+            return orig(spec, ref_mode, *a, **k)
+
+        eng._run_bucket_sync = spy
+        eng.start()
+        try:
+            st = eng.open_stream({"height": 32, "width": 32, "steps": 1})
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+            assert served == [1]
+
+            # move the steps slider: a fresh bucket
+            st.options["steps"] = 3
+            await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+            # dispatch used the ready steps=1 program; the steps=3 compile
+            # went to the background (exactly one bg call sees steps=3)
+            assert served.count(3) == 1 and served.count(1) >= 2, served
+
+            # once the background compile lands, dispatch swaps to steps=3
+            for _ in range(600):
+                if not eng._compiling:
+                    break
+                await asyncio.sleep(0.5)
+            assert not eng._compiling
+            await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+            assert served.count(3) >= 2, served
+            assert eng.stats()["programs_compiled"] >= 2
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())

@@ -23,6 +23,7 @@ device-resident params.
 from __future__ import annotations
 
 import asyncio
+import logging
 import time
 from typing import Any
 
@@ -108,12 +109,24 @@ class Engine:
         # dispatch — lets /profile AOT-relower the program to symbolize HLO
         # fusion names back to model blocks (hlo_symbols)
         self._program_shapes: dict[Any, Any] = {}
+        # compile-stall avoidance: (spec, ref_mode) keys that have completed
+        # at least one run (their executable exists), and keys currently
+        # compiling in the background.  A live option change that lands in a
+        # fresh bucket (e.g. the steps slider) is served with the NEAREST
+        # ready program while its own compiles in the background — the
+        # eager-GPU reference never stalls on sliders (server.py:171-187)
+        # and neither should the XLA build.
+        self._ready_specs: set = set()
+        self._compiling: set = set()
         self._prompt_cache: dict[str, Any] = {}
         self._encoder = None
         self._loop_task: asyncio.Task | None = None
         self._stopped = asyncio.Event()
         self._wake = asyncio.Event()
         self._inflight: set[asyncio.Task] = set()
+        # background compiles live outside _inflight: they must not eat one
+        # of the 2 pipelined-dispatch slots
+        self._bg_tasks: set[asyncio.Task] = set()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -342,6 +355,60 @@ class Engine:
                     warm_lat, warm_alpha, pooled,
                 )
 
+    def _nearest_ready_spec(self, spec, ref_mode: bool):
+        """A ready program differing from ``spec`` only in steps (closest
+        ladder wins), or None if this shape/mode has no compiled variant."""
+        import dataclasses
+
+        candidates = [
+            s
+            for s, rm in self._ready_specs
+            if rm == ref_mode and dataclasses.replace(s, steps=spec.steps) == spec
+        ]
+        if not candidates:
+            return None
+        return min(candidates, key=lambda s: abs(s.steps - spec.steps))
+
+    def _compile_spec_background(self, loop, spec, ref_mode: bool):
+        """Warm (compile + one dummy run of) a spec off the dispatch path."""
+        key = (spec, ref_mode)
+        if key in self._compiling:
+            return
+
+        self._compiling.add(key)
+        logging.getLogger("videosd_tpu.engine").info(
+            "background-compiling bucket %s (serving nearest ready variant "
+            "meanwhile)", spec,
+        )
+
+        def work():
+            try:
+                dummy = self._dummy_batch(spec)
+                frames, embeds, strength, guidance, cn, seed, pooled = dummy
+                warm_lat = np.zeros(
+                    (spec.batch, spec.height // 8, spec.width // 8, 4), np.float32
+                )
+                warm_alpha = np.zeros((spec.batch,), np.float32)
+                self._run_bucket_sync(
+                    spec, ref_mode, frames, frames, embeds, strength, guidance,
+                    cn, seed,
+                    None if ref_mode else warm_lat,
+                    None if ref_mode else warm_alpha,
+                    pooled,
+                )
+            except Exception:
+                logging.getLogger("videosd_tpu.engine").exception(
+                    "background compile failed for %s", spec
+                )
+            finally:
+                self._compiling.discard(key)
+
+        task = loop.run_in_executor(None, work)
+        # keep a reference so the executor job isn't GC'd mid-flight
+        t = asyncio.ensure_future(task)
+        self._bg_tasks.add(t)
+        t.add_done_callback(self._bg_tasks.discard)
+
     def _dummy_batch(self, spec):
         import jax.numpy as jnp
 
@@ -416,6 +483,7 @@ class Engine:
                 **kwargs,
             )
         jax.block_until_ready(out)
+        self._ready_specs.add(key)
         # out must come to the host (it's sent to clients); latents stay
         # DEVICE-RESIDENT — they only feed the next frame's warm start, and
         # a host round trip would cost 2 transfers per batch for nothing
@@ -517,8 +585,10 @@ class Engine:
                 self._inflight.add(task)
                 task.add_done_callback(self._inflight.discard)
 
-        if self._inflight:
-            await asyncio.gather(*self._inflight, return_exceptions=True)
+        if self._inflight or self._bg_tasks:
+            await asyncio.gather(
+                *self._inflight, *self._bg_tasks, return_exceptions=True
+            )
 
     async def _process_group(self, loop, key, items):
         import jax.numpy as jnp
@@ -536,6 +606,15 @@ class Engine:
             steps=steps,
             use_controlnet=use_cn and not ref_mode,
         )
+        # compile-stall avoidance: a fresh bucket (steps slider moved) is a
+        # multi-minute XLA compile — serve these frames with the nearest
+        # already-compiled steps variant NOW and swap when the background
+        # compile lands
+        if (spec, ref_mode) not in self._ready_specs:
+            fallback = self._nearest_ready_spec(spec, ref_mode)
+            if fallback is not None:
+                self._compile_spec_background(loop, spec, ref_mode)
+                spec = fallback
         frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         strength = np.full((b,), 0.6, np.float32)
@@ -643,4 +722,5 @@ class Engine:
         s.update(self.queue.stats())
         s["streams"] = len(self.streams)
         s["programs_compiled"] = len(self._programs)
+        s["programs_compiling"] = len(self._compiling)
         return s
