@@ -418,3 +418,42 @@ def test_steps_change_serves_stale_program_while_compiling(rng):
             await eng.stop()
 
     asyncio.run(run())
+
+
+def test_resolution_change_serves_stale_program_while_compiling(rng):
+    """A live resolution renegotiation also lands in a fresh bucket; the
+    stream keeps flowing at the old size while the new program compiles."""
+
+    async def run():
+        eng = _mk_engine()
+        served: list[tuple] = []
+        orig = eng._run_bucket_sync
+
+        def spy(spec, ref_mode, *a, **k):
+            served.append((spec.height, spec.width))
+            return orig(spec, ref_mode, *a, **k)
+
+        eng._run_bucket_sync = spy
+        eng.start()
+        try:
+            st = eng.open_stream({"height": 32, "width": 32, "steps": 1})
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            out = await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+            assert out.shape[:2] == (32, 32)
+
+            eng.update_options(st.stream_id, {"height": 64, "width": 64})
+            out = await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+            # served at the old size while 64x64 compiles in the background
+            assert out.shape[:2] == (32, 32)
+            assert served.count((64, 64)) == 1 and served.count((32, 32)) >= 2
+
+            for _ in range(600):
+                if not eng._compiling:
+                    break
+                await asyncio.sleep(0.5)
+            out = await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+            assert out.shape[:2] == (64, 64)
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())

@@ -356,18 +356,35 @@ class Engine:
                 )
 
     def _nearest_ready_spec(self, spec, ref_mode: bool):
-        """A ready program differing from ``spec`` only in steps (closest
-        ladder wins), or None if this shape/mode has no compiled variant."""
+        """A ready program differing from ``spec`` only in steps and/or
+        output resolution, or None if no compiled variant can stand in.
+
+        Ranking: same resolution beats same steps (a transitional ladder
+        change is invisible; a transitional size change the client just
+        renders at the reply's dimensions), then nearest steps, then
+        nearest area."""
         import dataclasses
+
+        def normalize(s):
+            return dataclasses.replace(
+                s, steps=spec.steps, height=spec.height, width=spec.width
+            )
 
         candidates = [
             s
             for s, rm in self._ready_specs
-            if rm == ref_mode and dataclasses.replace(s, steps=spec.steps) == spec
+            if rm == ref_mode and normalize(s) == spec
         ]
         if not candidates:
             return None
-        return min(candidates, key=lambda s: abs(s.steps - spec.steps))
+        return min(
+            candidates,
+            key=lambda s: (
+                (s.height, s.width) != (spec.height, spec.width),
+                abs(s.steps - spec.steps),
+                abs(s.height * s.width - spec.height * spec.width),
+            ),
+        )
 
     def _compile_spec_background(self, loop, spec, ref_mode: bool):
         """Warm (compile + one dummy run of) a spec off the dispatch path."""
@@ -606,10 +623,10 @@ class Engine:
             steps=steps,
             use_controlnet=use_cn and not ref_mode,
         )
-        # compile-stall avoidance: a fresh bucket (steps slider moved) is a
-        # multi-minute XLA compile — serve these frames with the nearest
-        # already-compiled steps variant NOW and swap when the background
-        # compile lands
+        # compile-stall avoidance: a fresh bucket (steps slider moved, or a
+        # resolution renegotiation) is a multi-minute XLA compile — serve
+        # these frames with the nearest already-compiled variant NOW and
+        # swap when the background compile lands
         if (spec, ref_mode) not in self._ready_specs:
             fallback = self._nearest_ready_spec(spec, ref_mode)
             if fallback is not None:
@@ -621,7 +638,8 @@ class Engine:
         guidance = np.full((b,), 5.0, np.float32)
         scale = np.full((b,), 2.0, np.float32)  # cn scale OR fidelity
         seed = np.zeros((b,), np.int32)
-        lat_shape = (h // 8, w // 8, 4)
+        # derive from the (possibly substituted) spec, not the request key
+        lat_shape = (spec.height // 8, spec.width // 8, 4)
         warm_alpha = np.zeros((b,), np.float32)
         warm_rows: list = [None] * b  # None -> zeros; else device-resident
         emb_list = []
