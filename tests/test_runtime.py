@@ -457,3 +457,58 @@ def test_resolution_change_serves_stale_program_while_compiling(rng):
             await eng.stop()
 
     asyncio.run(run())
+
+
+def test_batch_growth_serves_chunked_while_compiling(rng):
+    """More concurrent streams than any compiled batch: the group is served
+    as chunks of the largest ready batch while the big bucket compiles."""
+
+    async def run():
+        eng = _mk_engine()
+        served: list[int] = []
+        orig = eng._run_bucket_sync
+
+        def spy(spec, ref_mode, *a, **k):
+            served.append(spec.batch)
+            return orig(spec, ref_mode, *a, **k)
+
+        eng._run_bucket_sync = spy
+        # disable the EMA pacing gate so the concurrent submits coalesce
+        # into one group (pacing would otherwise serialize them to batch 1
+        # and the fresh-bucket path under test would never be reached)
+        eng.queue.pacing_ok = lambda *a, **k: True
+        eng.start()
+        try:
+            st0 = eng.open_stream({"height": 32, "width": 32, "steps": 1})
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            await asyncio.wait_for(eng.submit_frame(st0.stream_id, frame), 120)
+            assert served == [1]
+
+            sts = [
+                eng.open_stream(
+                    {"height": 32, "width": 32, "steps": 1, "prompt": f"p{i}"}
+                )
+                for i in range(3)
+            ]
+            outs = await asyncio.wait_for(
+                asyncio.gather(
+                    *[eng.submit_frame(s.stream_id, frame) for s in [st0] + sts]
+                ),
+                timeout=120,
+            )
+            assert all(o.shape == (32, 32, 3) for o in outs)
+            # dispatch chunked the group into batch-1 calls immediately
+            assert served.count(1) >= 3, served
+            # ... while the big bucket warms in the background (batch 4, or
+            # 2 if the deadline cut the group)
+            for _ in range(600):
+                if not eng._compiling and (
+                    served.count(4) + served.count(2) >= 1
+                ):
+                    break
+                await asyncio.sleep(0.5)
+            assert max(served.count(4), served.count(2)) >= 1, served
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())

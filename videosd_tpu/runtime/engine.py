@@ -623,15 +623,45 @@ class Engine:
             steps=steps,
             use_controlnet=use_cn and not ref_mode,
         )
-        # compile-stall avoidance: a fresh bucket (steps slider moved, or a
-        # resolution renegotiation) is a multi-minute XLA compile — serve
-        # these frames with the nearest already-compiled variant NOW and
-        # swap when the background compile lands
+        # compile-stall avoidance: a fresh bucket (steps slider moved, a
+        # resolution renegotiation, or more concurrent streams than any
+        # compiled batch size) is a multi-minute XLA compile — serve these
+        # frames with the nearest already-compiled variant NOW and swap
+        # when the background compile lands
         if (spec, ref_mode) not in self._ready_specs:
-            fallback = self._nearest_ready_spec(spec, ref_mode)
-            if fallback is not None:
+            import dataclasses
+
+            batch_variants = {
+                s.batch
+                for s, rm in self._ready_specs
+                if rm == ref_mode and dataclasses.replace(s, batch=b) == spec
+            }
+            if batch_variants:
                 self._compile_spec_background(loop, spec, ref_mode)
-                spec = fallback
+                bigger = sorted(v for v in batch_variants if v >= len(items))
+                if bigger:
+                    # pad up into the smallest ready larger batch
+                    b = bigger[0]
+                    spec = dataclasses.replace(spec, batch=b)
+                else:
+                    # chunk down: this call serves the first bmax items with
+                    # the largest ready batch; the rest re-enter as their
+                    # own groups (same logic applies to them)
+                    bmax = max(batch_variants)
+                    for i in range(bmax, len(items), bmax):
+                        t = loop.create_task(
+                            self._process_group(loop, key, items[i : i + bmax])
+                        )
+                        self._inflight.add(t)
+                        t.add_done_callback(self._inflight.discard)
+                    items = items[:bmax]
+                    b = bmax
+                    spec = dataclasses.replace(spec, batch=b)
+            else:
+                fallback = self._nearest_ready_spec(spec, ref_mode)
+                if fallback is not None:
+                    self._compile_spec_background(loop, spec, ref_mode)
+                    spec = fallback
         frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         strength = np.full((b,), 0.6, np.float32)
