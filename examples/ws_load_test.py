@@ -1,0 +1,142 @@
+"""WebSocket load test: N concurrent camera streams against a running server.
+
+Drives the full serving stack (WS transport -> engine micro-batcher ->
+jitted frame program -> JPEG reply) exactly like N browsers would, and
+reports per-stream and aggregate FPS plus round-trip latency percentiles.
+The reference has no load harness at all (its only metric is the gentime
+EMA print, diffusert/server.py:113-114).
+
+Usage:
+    python -m videosd_tpu.server.app --config config.yaml --port 8876 &
+    python examples/ws_load_test.py --url http://localhost:8876 \
+        --streams 4 --seconds 30 --size 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import io
+import json
+import time
+
+import numpy as np
+
+
+def make_frames(size: int, n: int = 16) -> list[bytes]:
+    """Pre-encoded JPEG camera frames (synthetic moving gradient)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+    frames = []
+    for i in range(n):
+        img = np.roll(base, shift=i * size // n, axis=1)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=85)
+        frames.append(buf.getvalue())
+    return frames
+
+
+async def stream_worker(
+    url: str,
+    sid: int,
+    frames: list[bytes],
+    seconds: float,
+    size: int,
+    results: dict,
+    inflight: int = 1,
+):
+    """One camera stream.  ``inflight``: how many frames the client keeps
+    in flight (1 = strictly synchronous like the stock browser client;
+    2 overlaps the upload of frame N+1 with the diffusion of frame N,
+    hiding the transport round trip)."""
+    import aiohttp
+
+    lat = []
+    sent: list[float] = []
+    n_out = 0
+    async with aiohttp.ClientSession() as session:
+        async with session.ws_connect(url + "/ws", max_msg_size=64 * 2**20) as ws:
+            opts = {
+                "prompt": f"portrait, pixar, cg, stream {sid}",
+                "strength": 0.6,
+                "guidance_scale": 5.0,
+                "steps": 4,
+                "seed": 23 + sid,
+                "controlnet": True,
+                "controlnet_scale": 2.0,
+                "width": size,
+                "height": size,
+                "jpeg": True,
+            }
+            await ws.send_str(json.dumps({"type": "init", "options": opts}))
+            t_end = time.perf_counter() + seconds
+            i = 0
+            while time.perf_counter() < t_end:
+                while len(sent) < inflight:
+                    sent.append(time.perf_counter())
+                    await ws.send_bytes(frames[i % len(frames)])
+                    i += 1
+                msg = await ws.receive()
+                if msg.type != aiohttp.WSMsgType.BINARY:
+                    break
+                lat.append(time.perf_counter() - sent.pop(0))
+                n_out += 1
+    results[sid] = (n_out, lat)
+
+
+async def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--url", default="http://localhost:8876")
+    ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--warmup-seconds", type=float, default=8.0)
+    ap.add_argument("--inflight", type=int, default=1)
+    args = ap.parse_args()
+
+    frames = make_frames(args.size)
+    results: dict = {}
+    # short warmup pass so compile/ramp effects don't pollute the window
+    await asyncio.gather(
+        *[
+            stream_worker(
+                args.url, s, frames, args.warmup_seconds, args.size, {},
+                args.inflight,
+            )
+            for s in range(args.streams)
+        ]
+    )
+    t0 = time.perf_counter()
+    await asyncio.gather(
+        *[
+            stream_worker(
+                args.url, s, frames, args.seconds, args.size, results,
+                args.inflight,
+            )
+            for s in range(args.streams)
+        ]
+    )
+    wall = time.perf_counter() - t0
+
+    all_lat = sorted(x for _, l in results.values() for x in l)
+    total = sum(n for n, _ in results.values())
+    out = {
+        "streams": args.streams,
+        "inflight": args.inflight,
+        "size": args.size,
+        "wall_s": round(wall, 2),
+        "aggregate_fps": round(total / wall, 2),
+        "per_stream_fps": round(total / wall / args.streams, 2),
+        "rtt_p50_ms": round(1e3 * all_lat[len(all_lat) // 2], 1) if all_lat else None,
+        "rtt_p95_ms": round(1e3 * all_lat[int(len(all_lat) * 0.95)], 1)
+        if all_lat
+        else None,
+        "frames": total,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    asyncio.run(main())

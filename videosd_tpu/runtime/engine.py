@@ -662,6 +662,8 @@ class Engine:
                 if fallback is not None:
                     self._compile_spec_background(loop, spec, ref_mode)
                     spec = fallback
+        pack_timer = self.telemetry.stages.time("pack")
+        pack_timer.__enter__()
         frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         strength = np.full((b,), 0.6, np.float32)
@@ -711,6 +713,7 @@ class Engine:
             # SDXL text_time micro-conditioning consumes the pooled embeds
             pooled = jnp.concatenate([p for _, p in emb_list], axis=0)
 
+        pack_timer.__exit__(None, None, None)
         self.queue.mark_gen_start()
         t0 = time.perf_counter()
         try:
@@ -746,6 +749,7 @@ class Engine:
                         wtr.set_result(st.last_output)
             return
         dt = time.perf_counter() - t0
+        self.telemetry.stages.record("device", dt)
         self.queue.record_gen(dt)
         self.telemetry.record_generation(
             dt, batch=len(items), fill=len(items) / b

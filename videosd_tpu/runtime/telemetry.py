@@ -198,7 +198,10 @@ class StageTimers:
         try:
             yield
         finally:
-            self.emas.setdefault(stage, EMA(0.0)).update(time.perf_counter() - t0)
+            self.record(stage, time.perf_counter() - t0)
+
+    def record(self, stage: str, seconds: float):
+        self.emas.setdefault(stage, EMA(0.0)).update(seconds)
 
     def snapshot(self) -> dict[str, float]:
         return {k: v.value for k, v in self.emas.items()}

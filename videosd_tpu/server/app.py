@@ -109,6 +109,26 @@ async def offer(request: web.Request) -> web.Response:
     return web.json_response(answer)
 
 
+def _jpeg_decode(data: bytes, engine: Engine) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    with engine.telemetry.stages.time("jpeg_decode"):
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+
+
+def _jpeg_encode(out: np.ndarray, engine: Engine) -> bytes:
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    with engine.telemetry.stages.time("jpeg_encode"):
+        Image.fromarray(out).save(buf, "JPEG", quality=85)
+    return buf.getvalue()
+
+
 def _parse_ws_options(raw: dict[str, Any]) -> dict[str, Any]:
     from videosd_tpu.config import coerce_options
 
@@ -139,6 +159,27 @@ async def ws_handler(request: web.Request) -> web.WebSocketResponse:
     stream = None
     app["sessions"].add(ws)
     stt = None
+    # frames are processed CONCURRENTLY per connection (the reference's
+    # fire-and-forget create_task(diffuse(...)), server.py:136): an in-order
+    # handler would cap the engine at one in-flight batch and the dispatch
+    # pipeline could never hide the host<->device round trip.  The engine's
+    # latest-wins mailbox bounds the backlog; a small cap bounds task count.
+    frame_tasks: set[asyncio.Task] = set()
+    send_lock = asyncio.Lock()
+
+    async def handle_frame(frame: np.ndarray):
+        out = await engine.submit_frame(stream.stream_id, frame)
+        if stream.options.get("jpeg"):
+            payload = await asyncio.get_running_loop().run_in_executor(
+                None, _jpeg_encode, out, engine
+            )
+        else:
+            oh, ow = out.shape[:2]
+            payload = struct.pack("<HH", oh, ow) + out.tobytes()
+        async with send_lock:
+            if not ws.closed:
+                await ws.send_bytes(payload)
+
     try:
         async for msg in ws:
             if msg.type == WSMsgType.TEXT:
@@ -176,16 +217,17 @@ async def ws_handler(request: web.Request) -> web.WebSocketResponse:
                 if stream is None:
                     stream = engine.open_stream({})
                 if msg.data[:2] == b"\xff\xd8":  # JPEG SOI
-                    import io
-
-                    from PIL import Image
-
+                    # decode in a worker thread: PIL's codec releases the
+                    # GIL, and an inline decode would block the event loop
+                    # (and therefore the batcher) for ~10-30 ms per frame —
+                    # measured to serialize against dispatch at 4 streams
                     try:
-                        img = Image.open(io.BytesIO(msg.data)).convert("RGB")
+                        frame = await asyncio.get_running_loop().run_in_executor(
+                            None, _jpeg_decode, msg.data, engine
+                        )
                     except Exception:
                         await ws.send_json({"type": "error", "error": "bad jpeg"})
                         continue
-                    frame = np.asarray(img, np.uint8)
                 else:
                     h, w = struct.unpack("<HH", msg.data[:4])
                     frame = np.frombuffer(msg.data[4:], np.uint8)
@@ -195,21 +237,18 @@ async def ws_handler(request: web.Request) -> web.WebSocketResponse:
                         )
                         continue
                     frame = frame.reshape(h, w, 3)
-                out = await engine.submit_frame(stream.stream_id, frame)
-                if stream.options.get("jpeg"):
-                    import io
-
-                    from PIL import Image
-
-                    buf = io.BytesIO()
-                    Image.fromarray(out).save(buf, "JPEG", quality=85)
-                    await ws.send_bytes(buf.getvalue())
-                else:
-                    oh, ow = out.shape[:2]
-                    await ws.send_bytes(struct.pack("<HH", oh, ow) + out.tobytes())
+                while len(frame_tasks) >= 4:  # bound per-connection backlog
+                    await asyncio.wait(
+                        set(frame_tasks), return_when=asyncio.FIRST_COMPLETED
+                    )
+                t = asyncio.get_running_loop().create_task(handle_frame(frame))
+                frame_tasks.add(t)
+                t.add_done_callback(frame_tasks.discard)
             elif msg.type == WSMsgType.ERROR:
                 break
     finally:
+        for t in frame_tasks:
+            t.cancel()
         app["sessions"].discard(ws)
         if stream is not None:
             engine.close_stream(stream.stream_id)
@@ -264,11 +303,18 @@ async def _on_startup(app: web.Application):
     if app["config"].compile:
         # AOT-warm the hot buckets so first frames don't hit compile stalls
         # (the reference's `compile` flag / compile_model warmup analog,
-        # videopipeline.py:35-47, config.yaml:5)
+        # videopipeline.py:35-47, config.yaml:5).  Warm the batch buckets
+        # the micro-batcher will actually form under multi-stream load —
+        # a fresh batch bucket otherwise costs a multi-minute background
+        # compile whose host-CPU load degrades live serving.
         loop = asyncio.get_running_loop()
         h = w = 512
+        batches = tuple(
+            b for b in app["config"].batch_buckets if b <= engine.max_batch
+        ) or (1,)
         await loop.run_in_executor(
-            None, lambda: engine.warmup(batch_sizes=(1,), steps=(4,), height=h, width=w)
+            None,
+            lambda: engine.warmup(batch_sizes=batches, steps=(4,), height=h, width=w),
         )
     app["watchdog_task"] = asyncio.get_running_loop().create_task(watchdog(app))
 
