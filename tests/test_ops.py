@@ -117,3 +117,37 @@ def test_yuv420_to_rgb_primaries():
     v2 = np.full((2, 2), 255, np.uint8)
     rgb2 = np.asarray(yuv420_to_rgb(y, u, v2))
     assert rgb2[..., 0].mean() > 0.9 and rgb2[..., 1].mean() < 0.3
+
+
+# ------------------------------------------------------------ jpeg codec
+
+
+def test_jpeg_codec_roundtrip_matches_pil():
+    """Native libjpeg binding: decode is bit-identical to PIL's decode of
+    the same bytes; PIL-encoded streams decode; corrupt streams raise."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from videosd_tpu.runtime import jpegcodec
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    img = np.asarray(Image.fromarray(x).resize((128, 128), Image.BILINEAR))
+
+    data = jpegcodec.encode_rgb(img)
+    dec = jpegcodec.decode_rgb(data)
+    assert dec.shape == (128, 128, 3) and dec.dtype == np.uint8
+    pil_dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(dec, pil_dec)
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=85)
+    assert jpegcodec.decode_rgb(buf.getvalue()).shape == (128, 128, 3)
+
+    if jpegcodec.native_available():
+        import pytest
+
+        with pytest.raises(ValueError):
+            jpegcodec.decode_rgb(b"\xff\xd8garbage")

@@ -1,0 +1,129 @@
+"""Native JPEG codec binding (runtime/native/jpegcodec.cpp) with PIL fallback.
+
+ctypes calls release the GIL, so N streams decode/encode truly in parallel
+— PIL holds Python-level overhead per call and was the measured host
+bottleneck at multi-stream load (PERF.md "Full-stack serving").  Built on
+first use with g++ against the system libjpeg; environments without a
+toolchain (or libjpeg headers) transparently use PIL.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["decode_rgb", "encode_rgb", "native_available"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SRC = os.path.join(_NATIVE_DIR, "jpegcodec.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libjpegcodec.so")
+_lib = None
+_lib_failed = False
+_lib_lock = threading.Lock()
+
+
+def _load():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+                _SRC
+            ):
+                subprocess.run(
+                    [
+                        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                        _SRC, "-ljpeg", "-o", _SO,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.jc_decode_rgb.restype = ctypes.c_int
+            lib.jc_decode_rgb.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+                ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.jc_encode_rgb.restype = ctypes.c_int
+            lib.jc_encode_rgb.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+# camera frames cap at 4K in practice; a fixed decode bound keeps the
+# caller-buffer protocol simple.  Buffers are thread-local and reused —
+# the codec runs on executor threads at up to ~20 calls/s each.
+_MAX_PIXELS = 3840 * 2160
+_tls = threading.local()
+
+
+def _tls_buf(name: str, nbytes: int) -> np.ndarray:
+    buf = getattr(_tls, name, None)
+    if buf is None or buf.nbytes < nbytes:
+        buf = np.empty((nbytes,), np.uint8)
+        setattr(_tls, name, buf)
+    return buf
+
+
+def decode_rgb(data: bytes) -> np.ndarray:
+    """JPEG bytes -> [H,W,3] uint8 (RGB)."""
+    lib = _load()
+    if lib is None:
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+    out = _tls_buf("dec", _MAX_PIXELS * 3)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.jc_decode_rgb(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+        ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0:
+        raise ValueError(f"jpeg decode failed ({rc})")
+    return out[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def encode_rgb(rgb: np.ndarray, quality: int = 85) -> bytes:
+    """[H,W,3] uint8 (RGB, C-contiguous) -> JPEG bytes."""
+    lib = _load()
+    if lib is None:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, "JPEG", quality=quality)
+        return buf.getvalue()
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w = rgb.shape[:2]
+    cap = h * w * 3 + (1 << 16)  # JPEG never exceeds raw + header slack
+    out = _tls_buf("enc", cap)
+    n = ctypes.c_size_t()
+    rc = lib.jc_encode_rgb(
+        rgb.ctypes.data_as(ctypes.c_void_p), h, w, quality,
+        out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(n),
+    )
+    if rc != 0:
+        raise ValueError(f"jpeg encode failed ({rc})")
+    return out[: n.value].tobytes()

@@ -1,0 +1,120 @@
+// Native JPEG codec for the serving hot path.
+//
+// The per-frame JPEG decode/encode is the server's dominant host cost at
+// multi-stream load (measured ~40 ms/frame of Python/PIL work in PERF.md
+// "Full-stack serving"); the reference pays an equivalent price inside
+// aiortc's VP8/H264 encoder instead (SURVEY.md §2.4 "native components").
+// This links the system libjpeg directly and is called via ctypes, which
+// releases the GIL — N streams decode/encode truly in parallel.
+//
+// C ABI:
+//   jc_decode_rgb(data, len, out, out_cap, &h, &w)  -> 0 ok / <0 error
+//     out receives packed RGB24 rows (h*w*3 bytes, h/w written back).
+//   jc_encode_rgb(rgb, h, w, quality, out, out_cap, &out_len) -> 0 ok
+//
+// Both are one-shot (no persistent state) and thread-safe.
+
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>   // jpeglib.h needs FILE
+#include <cstdlib>
+#include <cstring>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct ErrMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void on_error(j_common_ptr cinfo) {
+  ErrMgr* err = reinterpret_cast<ErrMgr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+void on_message(j_common_ptr) {}  // keep libjpeg warnings off stderr
+
+}  // namespace
+
+extern "C" {
+
+int jc_decode_rgb(const uint8_t* data, size_t len, uint8_t* out,
+                  size_t out_cap, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = on_error;
+  jerr.pub.output_message = on_message;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;  // corrupt stream
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const size_t stride = size_t(cinfo.output_width) * 3;
+  if (stride * cinfo.output_height > out_cap) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;  // caller buffer too small
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + size_t(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  *h = int(cinfo.output_height);
+  *w = int(cinfo.output_width);
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+int jc_encode_rgb(const uint8_t* rgb, int h, int w, int quality, uint8_t* out,
+                  size_t out_cap, size_t* out_len) {
+  jpeg_compress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = on_error;
+  jerr.pub.output_message = on_message;
+  unsigned char* buf = nullptr;
+  unsigned long buf_len = 0;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_compress(&cinfo);
+    if (buf) free(buf);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  // libjpeg manages an internal growable buffer; copied out below (the
+  // extra memcpy is ~100 us at 512x512 q85, negligible vs entropy coding)
+  jpeg_mem_dest(&cinfo, &buf, &buf_len);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  const size_t stride = size_t(w) * 3;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(rgb) + size_t(cinfo.next_scanline) * stride;
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  if (buf_len > out_cap) {
+    free(buf);
+    return -3;
+  }
+  memcpy(out, buf, buf_len);
+  *out_len = buf_len;
+  free(buf);
+  return 0;
+}
+
+}  // extern "C"

@@ -110,23 +110,17 @@ async def offer(request: web.Request) -> web.Response:
 
 
 def _jpeg_decode(data: bytes, engine: Engine) -> np.ndarray:
-    import io
-
-    from PIL import Image
+    from videosd_tpu.runtime import jpegcodec
 
     with engine.telemetry.stages.time("jpeg_decode"):
-        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+        return jpegcodec.decode_rgb(data)
 
 
 def _jpeg_encode(out: np.ndarray, engine: Engine) -> bytes:
-    import io
+    from videosd_tpu.runtime import jpegcodec
 
-    from PIL import Image
-
-    buf = io.BytesIO()
     with engine.telemetry.stages.time("jpeg_encode"):
-        Image.fromarray(out).save(buf, "JPEG", quality=85)
-    return buf.getvalue()
+        return jpegcodec.encode_rgb(out, quality=85)
 
 
 def _parse_ws_options(raw: dict[str, Any]) -> dict[str, Any]:
