@@ -192,3 +192,30 @@ def test_controlnet_guess_mode_ramp():
         np.asarray(down_g[0]), np.asarray(down_p[0]) * ramp0, rtol=1e-4
     )
     np.testing.assert_allclose(np.asarray(mid_g), np.asarray(mid_p), rtol=1e-4)
+
+
+def test_upsample_conv2d_matches_naive(rng):
+    """Phase-decomposed nearest2x+conv3x3 is an exact re-association of the
+    naive path (upsample then SAME conv) — fp32 CPU agreement to ~1e-5,
+    including all edge/padding phases and bias."""
+    import jax
+    import jax.numpy as jnp
+
+    from videosd_tpu.models.layers import (
+        conv2d,
+        conv2d_init,
+        upsample_conv2d,
+        upsample_nearest2d,
+    )
+
+    key = jax.random.PRNGKey(3)
+    for h, w, c in ((5, 7, 8), (8, 8, 16)):
+        p = conv2d_init(key, c, c)
+        p = {k: v + 0.1 for k, v in p.items()}  # non-zero bias
+        x = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+        ref = conv2d(p, upsample_nearest2d(x))
+        got = upsample_conv2d(p, x)
+        assert got.shape == ref.shape == (2, 2 * h, 2 * w, c)
+        import numpy as np
+
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -312,3 +312,51 @@ def upsample_nearest2d(x, factor: int = 2):
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, factor, w, factor, c))
     return x.reshape(b, h * factor, w * factor, c)
+
+
+def upsample_conv2d(params: Params, x, *, f32_out: bool = True):
+    """Fused nearest-2x upsample + 3x3 SAME conv via phase decomposition.
+
+    ``conv3x3(pad=1)(nearest2x(x))`` computed as four 2x2 convs at SOURCE
+    resolution whose outputs interleave into the 2x-upsampled grid.  With
+    nearest upsampling, the 3x3 window at output phase (a, b) ∈ {0,1}²
+    only ever touches a 2x2 patch of source pixels; the effective 2x2
+    kernels are sums of the 3x3 taps that land on the same source pixel
+    (row taps: a=0 -> [k0, k1+k2], a=1 -> [k0+k1, k2]; columns likewise).
+    EXACT re-association of the same additions — bit-level parity with
+    the naive path is fp-associativity-limited only.
+
+    2.25x fewer MACs than conv at the upsampled resolution; measured
+    1.6x on v5e for the SD1.5 up-block upsamplers, which are ~6 ms/frame
+    of the flagship (PERF.md).  Params stay in 3x3 HWIO form (checkpoint
+    conversion untouched); the kernel transform is a pure function of the
+    params so XLA computes it once per program, not per step.
+    """
+    k = params["kernel"].astype(x.dtype)
+    r0 = jnp.stack([k[0], k[1] + k[2]])  # output rows at phase a=0
+    r1 = jnp.stack([k[0] + k[1], k[2]])  # phase a=1
+    phase_kernels = []
+    for kr in (r0, r1):
+        phase_kernels.append(jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], axis=1))
+        phase_kernels.append(jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], axis=1))
+    # phase (a,b) taps source rows (i-1+a, i+a) / cols (j-1+b, j+b)
+    pads = [((1, 0), (1, 0)), ((1, 0), (0, 1)), ((0, 1), (1, 0)), ((0, 1), (0, 1))]
+    bias = params.get("bias")
+    outs = []
+    for kk, pad in zip(phase_kernels, pads):
+        y = jax.lax.conv_general_dilated(
+            x,
+            kk,
+            window_strides=(1, 1),
+            padding=list(pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32 if f32_out else None,
+        )
+        if bias is not None:
+            y = y + bias.astype(jnp.float32 if f32_out else y.dtype)
+        outs.append(y.astype(x.dtype))
+    b, h, w, c = x.shape
+    y = jnp.stack(
+        [jnp.stack(outs[:2], axis=3), jnp.stack(outs[2:], axis=3)], axis=2
+    )  # [B, h, 2, w, 2, C]
+    return y.reshape(b, 2 * h, 2 * w, c)
