@@ -146,8 +146,9 @@ def test_jpeg_codec_roundtrip_matches_pil():
     Image.fromarray(img).save(buf, "JPEG", quality=85)
     assert jpegcodec.decode_rgb(buf.getvalue()).shape == (128, 128, 3)
 
-    if jpegcodec.native_available():
-        import pytest
+    import pytest
 
-        with pytest.raises(ValueError):
-            jpegcodec.decode_rgb(b"\xff\xd8garbage")
+    # truly corrupt streams raise (from PIL, which is also the fallback
+    # when the native path rejects a stream)
+    with pytest.raises(Exception):
+        jpegcodec.decode_rgb(b"\xff\xd8garbage")

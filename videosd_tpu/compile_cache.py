@@ -16,9 +16,18 @@ _DEFAULT = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
 
 
 def setup(min_compile_time_secs: int = 5) -> str:
-    """Point JAX's persistent compilation cache at a durable directory."""
+    """Point JAX's persistent compilation cache at a durable directory.
+
+    Falls back to a tmp-dir cache when the repo-adjacent default is not
+    writable (pip-installed package in a read-only site-packages)."""
+    import tempfile
+
     cache_dir = os.environ.get("VIDEOSD_CACHE_DIR", str(_DEFAULT))
-    pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    try:
+        pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    except OSError:
+        cache_dir = os.path.join(tempfile.gettempdir(), "videosd_jax_cache")
+        pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", min_compile_time_secs

@@ -273,7 +273,8 @@ class Engine:
         from videosd_tpu.runtime.telemetry import parse_hlo_symbols
 
         symbols: dict[str, str] = {}
-        for key, prog in self._programs.items():
+        # list() snapshot: background compiles insert into _programs
+        for key, prog in list(self._programs.items()):
             shapes = self._program_shapes.get(key)
             if shapes is None:
                 continue
@@ -340,20 +341,27 @@ class Engine:
                     batch=b, height=height, width=width, in_height=ih, in_width=iw,
                     steps=s,
                 )
-                frames, embeds, strength, guidance, cn, seed, pooled = (
-                    self._dummy_batch(spec)
-                )
-                # match the batcher's EXACT call signature (it always
-                # passes warm arrays) — a warmup without them compiles a
-                # different program and the first real batch stalls anyway
-                warm_lat = np.zeros(
-                    (b, height // 8, width // 8, 4), np.float32
-                )
-                warm_alpha = np.zeros((b,), np.float32)
-                self._run_bucket_sync(
-                    spec, False, frames, frames, embeds, strength, guidance, cn, seed,
-                    warm_lat, warm_alpha, pooled,
-                )
+                self._warm_spec(spec, ref_mode=False)
+
+    def _warm_spec(self, spec, *, ref_mode: bool):
+        """Compile + one dummy run of a spec, matching the batcher's EXACT
+        call signature (it always passes warm arrays in non-ref mode) — a
+        warmup with a different signature compiles a different program and
+        the first real batch stalls anyway.  Used by both startup warmup
+        and background bucket compiles."""
+        frames, embeds, strength, guidance, cn, seed, pooled = self._dummy_batch(
+            spec
+        )
+        warm_lat = np.zeros(
+            (spec.batch, spec.height // 8, spec.width // 8, 4), np.float32
+        )
+        warm_alpha = np.zeros((spec.batch,), np.float32)
+        self._run_bucket_sync(
+            spec, ref_mode, frames, frames, embeds, strength, guidance, cn, seed,
+            None if ref_mode else warm_lat,
+            None if ref_mode else warm_alpha,
+            pooled,
+        )
 
     def _nearest_ready_spec(self, spec, ref_mode: bool):
         """A ready program differing from ``spec`` only in steps and/or
@@ -370,9 +378,10 @@ class Engine:
                 s, steps=spec.steps, height=spec.height, width=spec.width
             )
 
+        # list() snapshot: executor threads add to _ready_specs concurrently
         candidates = [
             s
-            for s, rm in self._ready_specs
+            for s, rm in list(self._ready_specs)
             if rm == ref_mode and normalize(s) == spec
         ]
         if not candidates:
@@ -400,19 +409,7 @@ class Engine:
 
         def work():
             try:
-                dummy = self._dummy_batch(spec)
-                frames, embeds, strength, guidance, cn, seed, pooled = dummy
-                warm_lat = np.zeros(
-                    (spec.batch, spec.height // 8, spec.width // 8, 4), np.float32
-                )
-                warm_alpha = np.zeros((spec.batch,), np.float32)
-                self._run_bucket_sync(
-                    spec, ref_mode, frames, frames, embeds, strength, guidance,
-                    cn, seed,
-                    None if ref_mode else warm_lat,
-                    None if ref_mode else warm_alpha,
-                    pooled,
-                )
+                self._warm_spec(spec, ref_mode=ref_mode)
             except Exception:
                 logging.getLogger("videosd_tpu.engine").exception(
                     "background compile failed for %s", spec
@@ -631,9 +628,10 @@ class Engine:
         if (spec, ref_mode) not in self._ready_specs:
             import dataclasses
 
+            # list() snapshot: executor threads add to _ready_specs concurrently
             batch_variants = {
                 s.batch
-                for s, rm in self._ready_specs
+                for s, rm in list(self._ready_specs)
                 if rm == ref_mode and dataclasses.replace(s, batch=b) == spec
             }
             if batch_variants:
@@ -662,8 +660,7 @@ class Engine:
                 if fallback is not None:
                     self._compile_spec_background(loop, spec, ref_mode)
                     spec = fallback
-        pack_timer = self.telemetry.stages.time("pack")
-        pack_timer.__enter__()
+        t_pack = time.perf_counter()
         frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         strength = np.full((b,), 0.6, np.float32)
@@ -713,7 +710,7 @@ class Engine:
             # SDXL text_time micro-conditioning consumes the pooled embeds
             pooled = jnp.concatenate([p for _, p in emb_list], axis=0)
 
-        pack_timer.__exit__(None, None, None)
+        self.telemetry.stages.record("pack", time.perf_counter() - t_pack)
         self.queue.mark_gen_start()
         t0 = time.perf_counter()
         try:

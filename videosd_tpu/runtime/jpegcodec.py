@@ -83,15 +83,23 @@ def _tls_buf(name: str, nbytes: int) -> np.ndarray:
     return buf
 
 
+def _pil_decode(data: bytes) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+
+
 def decode_rgb(data: bytes) -> np.ndarray:
-    """JPEG bytes -> [H,W,3] uint8 (RGB)."""
+    """JPEG bytes -> [H,W,3] uint8 (RGB).
+
+    Native path first; anything it rejects (oversized, CMYK/exotic color
+    spaces, corrupt) retries through PIL, so the surface accepts exactly
+    what PIL accepts — truly corrupt streams raise from PIL."""
     lib = _load()
     if lib is None:
-        import io
-
-        from PIL import Image
-
-        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+        return _pil_decode(data)
     out = _tls_buf("dec", _MAX_PIXELS * 3)
     h = ctypes.c_int()
     w = ctypes.c_int()
@@ -100,21 +108,26 @@ def decode_rgb(data: bytes) -> np.ndarray:
         ctypes.byref(h), ctypes.byref(w),
     )
     if rc != 0:
-        raise ValueError(f"jpeg decode failed ({rc})")
+        return _pil_decode(data)
     return out[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
 
 
+def _pil_encode(rgb: np.ndarray, quality: int) -> bytes:
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
 def encode_rgb(rgb: np.ndarray, quality: int = 85) -> bytes:
-    """[H,W,3] uint8 (RGB, C-contiguous) -> JPEG bytes."""
+    """[H,W,3] uint8 (RGB) -> JPEG bytes.  Falls back to PIL on any
+    native-path failure."""
     lib = _load()
     if lib is None:
-        import io
-
-        from PIL import Image
-
-        buf = io.BytesIO()
-        Image.fromarray(rgb).save(buf, "JPEG", quality=quality)
-        return buf.getvalue()
+        return _pil_encode(rgb, quality)
     rgb = np.ascontiguousarray(rgb, np.uint8)
     h, w = rgb.shape[:2]
     cap = h * w * 3 + (1 << 16)  # JPEG never exceeds raw + header slack
@@ -125,5 +138,5 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85) -> bytes:
         out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(n),
     )
     if rc != 0:
-        raise ValueError(f"jpeg encode failed ({rc})")
+        return _pil_encode(rgb, quality)
     return out[: n.value].tobytes()

@@ -82,8 +82,10 @@ int jc_encode_rgb(const uint8_t* rgb, int h, int w, int quality, uint8_t* out,
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = on_error;
   jerr.pub.output_message = on_message;
-  unsigned char* buf = nullptr;
-  unsigned long buf_len = 0;
+  // volatile: modified between setjmp and longjmp — non-volatile locals
+  // would be indeterminate on the error path (free of a stale pointer)
+  unsigned char* volatile buf = nullptr;
+  volatile unsigned long buf_len = 0;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_compress(&cinfo);
     if (buf) free(buf);
@@ -92,7 +94,8 @@ int jc_encode_rgb(const uint8_t* rgb, int h, int w, int quality, uint8_t* out,
   jpeg_create_compress(&cinfo);
   // libjpeg manages an internal growable buffer; copied out below (the
   // extra memcpy is ~100 us at 512x512 q85, negligible vs entropy coding)
-  jpeg_mem_dest(&cinfo, &buf, &buf_len);
+  jpeg_mem_dest(&cinfo, const_cast<unsigned char**>(&buf),
+                const_cast<unsigned long*>(&buf_len));
   cinfo.image_width = w;
   cinfo.image_height = h;
   cinfo.input_components = 3;
@@ -107,13 +110,15 @@ int jc_encode_rgb(const uint8_t* rgb, int h, int w, int quality, uint8_t* out,
   }
   jpeg_finish_compress(&cinfo);
   jpeg_destroy_compress(&cinfo);
-  if (buf_len > out_cap) {
-    free(buf);
+  unsigned char* done_buf = buf;
+  unsigned long done_len = buf_len;
+  if (done_len > out_cap) {
+    free(done_buf);
     return -3;
   }
-  memcpy(out, buf, buf_len);
-  *out_len = buf_len;
-  free(buf);
+  memcpy(out, done_buf, done_len);
+  *out_len = done_len;
+  free(done_buf);
   return 0;
 }
 

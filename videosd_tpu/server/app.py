@@ -158,21 +158,33 @@ async def ws_handler(request: web.Request) -> web.WebSocketResponse:
     # handler would cap the engine at one in-flight batch and the dispatch
     # pipeline could never hide the host<->device round trip.  The engine's
     # latest-wins mailbox bounds the backlog; a small cap bounds task count.
+    # Each task awaits its predecessor before sending, so replies stay in
+    # arrival order, and every frame produces a reply (or an error message)
+    # — a synchronous client must never be left waiting.
     frame_tasks: set[asyncio.Task] = set()
-    send_lock = asyncio.Lock()
+    prev_done: asyncio.Future | None = None
 
-    async def handle_frame(frame: np.ndarray):
-        out = await engine.submit_frame(stream.stream_id, frame)
-        if stream.options.get("jpeg"):
-            payload = await asyncio.get_running_loop().run_in_executor(
-                None, _jpeg_encode, out, engine
-            )
-        else:
-            oh, ow = out.shape[:2]
-            payload = struct.pack("<HH", oh, ow) + out.tobytes()
-        async with send_lock:
+    async def handle_frame(frame: np.ndarray, prev: asyncio.Future | None):
+        try:
+            out = await engine.submit_frame(stream.stream_id, frame)
+            if stream.options.get("jpeg"):
+                payload = await asyncio.get_running_loop().run_in_executor(
+                    None, _jpeg_encode, out, engine
+                )
+            else:
+                oh, ow = out.shape[:2]
+                payload = struct.pack("<HH", oh, ow) + out.tobytes()
+        except Exception:
+            logger.exception("frame handling failed")
+            if prev is not None:
+                await asyncio.shield(asyncio.gather(prev, return_exceptions=True))
             if not ws.closed:
-                await ws.send_bytes(payload)
+                await ws.send_json({"type": "error", "error": "frame failed"})
+            return
+        if prev is not None:  # in-order delivery
+            await asyncio.shield(asyncio.gather(prev, return_exceptions=True))
+        if not ws.closed:
+            await ws.send_bytes(payload)
 
     try:
         async for msg in ws:
@@ -235,7 +247,10 @@ async def ws_handler(request: web.Request) -> web.WebSocketResponse:
                     await asyncio.wait(
                         set(frame_tasks), return_when=asyncio.FIRST_COMPLETED
                     )
-                t = asyncio.get_running_loop().create_task(handle_frame(frame))
+                t = asyncio.get_running_loop().create_task(
+                    handle_frame(frame, prev_done)
+                )
+                prev_done = t
                 frame_tasks.add(t)
                 t.add_done_callback(frame_tasks.discard)
             elif msg.type == WSMsgType.ERROR:
