@@ -312,19 +312,30 @@ async def _on_startup(app: web.Application):
     if app["config"].compile:
         # AOT-warm the hot buckets so first frames don't hit compile stalls
         # (the reference's `compile` flag / compile_model warmup analog,
-        # videopipeline.py:35-47, config.yaml:5).  Warm the batch buckets
-        # the micro-batcher will actually form under multi-stream load —
-        # a fresh batch bucket otherwise costs a multi-minute background
-        # compile whose host-CPU load degrades live serving.
+        # videopipeline.py:35-47, config.yaml:5).  Only the SMALLEST batch
+        # bucket gates readiness — the rest warm in the background while
+        # the server serves: a multi-stream group whose bucket isn't ready
+        # is chunked onto the ready one by the engine's stall-avoidance
+        # path, so time-to-first-frame stays ~1 warmup instead of N.
         loop = asyncio.get_running_loop()
         h = w = 512
-        batches = tuple(
+        batches = sorted(
             b for b in app["config"].batch_buckets if b <= engine.max_batch
-        ) or (1,)
+        ) or [1]
         await loop.run_in_executor(
             None,
-            lambda: engine.warmup(batch_sizes=batches, steps=(4,), height=h, width=w),
+            lambda: engine.warmup(
+                batch_sizes=batches[:1], steps=(4,), height=h, width=w
+            ),
         )
+        from videosd_tpu.pipelines.lcm_img2img import FrameSpec
+
+        ih, iw = engine.frame_hw
+        for b in batches[1:]:
+            spec = FrameSpec(
+                batch=b, height=h, width=w, in_height=ih, in_width=iw, steps=4
+            )
+            engine._compile_spec_background(loop, spec, ref_mode=False)
     app["watchdog_task"] = asyncio.get_running_loop().create_task(watchdog(app))
 
 
