@@ -23,8 +23,13 @@ import time
 import numpy as np
 
 
-def make_frames(size: int, n: int = 16) -> list[bytes]:
-    """Pre-encoded JPEG camera frames (synthetic moving gradient)."""
+def make_frames(size: int, n: int = 16, *, raw: bool = False) -> list[bytes]:
+    """Pre-encoded camera frames (synthetic moving gradient).
+
+    ``raw``: RGB24 with the WS transport's 4-byte {u16 h, u16 w} header
+    instead of JPEG — isolates the codec's contribution on localhost/LAN."""
+    import struct
+
     from PIL import Image
 
     rng = np.random.default_rng(0)
@@ -32,9 +37,12 @@ def make_frames(size: int, n: int = 16) -> list[bytes]:
     frames = []
     for i in range(n):
         img = np.roll(base, shift=i * size // n, axis=1)
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, "JPEG", quality=85)
-        frames.append(buf.getvalue())
+        if raw:
+            frames.append(struct.pack("<HH", size, size) + img.tobytes())
+        else:
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, "JPEG", quality=85)
+            frames.append(buf.getvalue())
     return frames
 
 
@@ -46,6 +54,7 @@ async def stream_worker(
     size: int,
     results: dict,
     inflight: int = 1,
+    raw: bool = False,
 ):
     """One camera stream.  ``inflight``: how many frames the client keeps
     in flight (1 = strictly synchronous like the stock browser client;
@@ -68,7 +77,7 @@ async def stream_worker(
                 "controlnet_scale": 2.0,
                 "width": size,
                 "height": size,
-                "jpeg": True,
+                "jpeg": not raw,
             }
             await ws.send_str(json.dumps({"type": "init", "options": opts}))
             t_end = time.perf_counter() + seconds
@@ -94,16 +103,17 @@ async def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--warmup-seconds", type=float, default=8.0)
     ap.add_argument("--inflight", type=int, default=1)
+    ap.add_argument("--raw", action="store_true", help="RGB24 frames (no JPEG)")
     args = ap.parse_args()
 
-    frames = make_frames(args.size)
+    frames = make_frames(args.size, raw=args.raw)
     results: dict = {}
     # short warmup pass so compile/ramp effects don't pollute the window
     await asyncio.gather(
         *[
             stream_worker(
                 args.url, s, frames, args.warmup_seconds, args.size, {},
-                args.inflight,
+                args.inflight, args.raw,
             )
             for s in range(args.streams)
         ]
@@ -113,7 +123,7 @@ async def main():
         *[
             stream_worker(
                 args.url, s, frames, args.seconds, args.size, results,
-                args.inflight,
+                args.inflight, args.raw,
             )
             for s in range(args.streams)
         ]
@@ -125,6 +135,7 @@ async def main():
     out = {
         "streams": args.streams,
         "inflight": args.inflight,
+        "raw": args.raw,
         "size": args.size,
         "wall_s": round(wall, 2),
         "aggregate_fps": round(total / wall, 2),
