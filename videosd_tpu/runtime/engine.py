@@ -118,9 +118,15 @@ class Engine:
         # and neither should the XLA build.
         self._ready_specs: set = set()
         self._compiling: set = set()
+        self._dispatch_threads: dict[str, int] = {}
         self._prompt_cache: dict[str, Any] = {}
         self._encoder = None
         self._loop_task: asyncio.Task | None = None
+        # all hot-path program executions go through ONE dispatch thread:
+        # the remote-TPU client leaks ~1 MB/frame (and is ~40% slower)
+        # with executions in flight from multiple threads (PERF.md);
+        # created lazily so engines that never run don't spawn threads
+        self._dispatcher = None
         self._stopped = asyncio.Event()
         self._wake = asyncio.Event()
         self._inflight: set[asyncio.Task] = set()
@@ -146,12 +152,24 @@ class Engine:
         if self._loop_task is None:
             self._loop_task = asyncio.get_running_loop().create_task(self._batch_loop())
 
+    def _get_dispatcher(self):
+        if self._dispatcher is None:
+            from videosd_tpu.runtime.dispatch import DispatchWorker
+
+            self._dispatcher = DispatchWorker(depth=2)
+        return self._dispatcher
+
     async def stop(self):
         self._stopped.set()
         self._wake.set()
         if self._loop_task is not None:
             await self._loop_task
             self._loop_task = None
+        if self._dispatcher is not None:
+            await asyncio.get_running_loop().run_in_executor(
+                None, self._dispatcher.stop
+            )
+            self._dispatcher = None
 
     # ------------------------------------------------------------ streams
 
@@ -443,7 +461,7 @@ class Engine:
             pooled,
         )
 
-    def _run_bucket_sync(
+    def _dispatch_bucket(
         self,
         spec,
         ref_mode,
@@ -458,8 +476,36 @@ class Engine:
         warm_alpha=None,
         pooled_embeds=None,
     ):
-        import jax
+        """Enqueue one batch on the device (JAX async dispatch — returns
+        device arrays immediately without waiting for results).
 
+        ``embeds``/``pooled_embeds`` may be lists of per-stream arrays and
+        ``warm_latents`` a list of device-resident rows (or None) — the
+        concatenation/stacking device ops then run HERE, on the dispatch
+        thread, not on the event loop (multi-threaded runtime access
+        leaks, see runtime/dispatch.py)."""
+        import threading
+
+        import jax.numpy as jnp
+
+        # observability: which threads execute programs and how often (leak
+        # triage — the steady-state serving path must count on exactly one)
+        name = threading.current_thread().name
+        self._dispatch_threads[name] = self._dispatch_threads.get(name, 0) + 1
+
+        if isinstance(embeds, (list, tuple)):
+            embeds = jnp.concatenate(embeds, axis=0)
+        if isinstance(pooled_embeds, (list, tuple)):
+            pooled_embeds = jnp.concatenate(pooled_embeds, axis=0)
+        if isinstance(warm_latents, (list, tuple)):
+            lat_shape = (spec.height // 8, spec.width // 8, 4)
+            zero = jnp.zeros(lat_shape, jnp.float32)
+            warm_latents = jnp.stack(
+                [
+                    zero if r is None else r.astype(jnp.float32)
+                    for r in warm_latents
+                ]
+            )
         prog = self._get_program(spec, ref_mode=ref_mode)
         key = (spec, ref_mode)
         if ref_mode:
@@ -496,12 +542,29 @@ class Engine:
                 self.bundle.params, frames, embeds, strength, guidance, scale, seed,
                 **kwargs,
             )
+        return key, out, latents
+
+    def _finalize_bucket(self, raw):
+        """Block on one dispatched batch and bring the images to the host.
+
+        latents stay DEVICE-RESIDENT — they only feed the next frame's
+        warm start, and a host round trip would cost 2 transfers per
+        batch for nothing.  Returned pre-sliced per row so the event loop
+        never issues the slice ops itself."""
+        import jax
+
+        key, out, latents = raw
         jax.block_until_ready(out)
         self._ready_specs.add(key)
-        # out must come to the host (it's sent to clients); latents stay
-        # DEVICE-RESIDENT — they only feed the next frame's warm start, and
-        # a host round trip would cost 2 transfers per batch for nothing
-        return np.asarray(out), latents
+        rows = [latents[i] for i in range(latents.shape[0])]
+        return np.asarray(out), rows
+
+    def _run_bucket_sync(self, *args, **kwargs):
+        """Dispatch + wait, on the calling thread (warmup and background
+        compiles; the batcher's hot path goes through the single-threaded
+        DispatchWorker instead — see _process_group).  Also the seam tests
+        monkeypatch for fault injection / serving spies."""
+        return self._finalize_bucket(self._dispatch_bucket(*args, **kwargs))
 
     # ------------------------------------------------------------ batcher
 
@@ -661,6 +724,20 @@ class Engine:
                     self._compile_spec_background(loop, spec, ref_mode)
                     spec = fallback
         t_pack = time.perf_counter()
+        # pre-encode any uncached prompts ON THE DISPATCH THREAD (an
+        # encoder run from the event loop would be a second thread touching
+        # the runtime — the exact pattern that leaks, runtime/dispatch.py)
+        import functools as _ft
+
+        missing = {
+            str(st.options["prompt"])
+            for st, _buf, _ts in items
+            if str(st.options["prompt"]) not in self._prompt_cache
+        }
+        for pr in missing:
+            await self._get_dispatcher().run(
+                loop, _ft.partial(self._encode_prompt, pr), lambda r: None
+            )
         frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         strength = np.full((b,), 0.6, np.float32)
@@ -695,28 +772,24 @@ class Engine:
                 warm_rows[i] = st.last_latents
             emb_list.append(self._stream_embeds(st))
         emb_list.extend([emb_list[-1]] * (b - len(items)))
-        embeds = jnp.concatenate([e for e, _ in emb_list], axis=0)
-        # warm-start latents: device-resident rows stacked on device (fp32
-        # for a stable jit signature); all-cold batches pass host zeros
+        # device-side assembly (embeds concat, warm-latent stack, pooled
+        # concat) happens in _dispatch_bucket on the dispatch thread; pass
+        # the pieces.  All-cold warm batches pass host zeros directly.
+        embeds = [e for e, _ in emb_list]
         if any(r is not None for r in warm_rows):
-            zero = jnp.zeros(lat_shape, jnp.float32)
-            warm_lat = jnp.stack(
-                [zero if r is None else r.astype(jnp.float32) for r in warm_rows]
-            )
+            warm_lat: Any = warm_rows
         else:
             warm_lat = np.zeros((b, *lat_shape), np.float32)
         pooled = None
         if self.bundle.clip2_cfg is not None:
             # SDXL text_time micro-conditioning consumes the pooled embeds
-            pooled = jnp.concatenate([p for _, p in emb_list], axis=0)
+            pooled = [p for _, p in emb_list]
 
         self.telemetry.stages.record("pack", time.perf_counter() - t_pack)
         self.queue.mark_gen_start()
         t0 = time.perf_counter()
         try:
-            out, latents = await loop.run_in_executor(
-                None,
-                self._run_bucket_sync,
+            run_args = (
                 spec,
                 ref_mode,
                 frames,
@@ -730,6 +803,24 @@ class Engine:
                 None if ref_mode else warm_alpha,
                 pooled,
             )
+            import functools
+
+            if "_run_bucket_sync" in self.__dict__:
+                # a test monkeypatched the seam: run its whole function on
+                # the dispatch thread (serialized; fine for tests)
+                out, latents = await self._get_dispatcher().run(
+                    loop,
+                    functools.partial(self._run_bucket_sync, *run_args),
+                    lambda raw: raw,
+                )
+            else:
+                # hot path: async dispatch now, block on the worker later —
+                # pipelining without multi-threaded runtime access
+                out, latents = await self._get_dispatcher().run(
+                    loop,
+                    functools.partial(self._dispatch_bucket, *run_args),
+                    self._finalize_bucket,
+                )
         except Exception:
             # a failed batch must not kill the loop (the reference's
             # try/finally around infer, server.py:107-111): resolve
@@ -772,4 +863,5 @@ class Engine:
         s["streams"] = len(self.streams)
         s["programs_compiled"] = len(self._programs)
         s["programs_compiling"] = len(self._compiling)
+        s["dispatch_threads"] = dict(self._dispatch_threads)
         return s

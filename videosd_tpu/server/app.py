@@ -306,6 +306,47 @@ async def profile_handler(request: web.Request) -> web.Response:
 # ----------------------------------------------------------------- app
 
 
+async def debug_memory_handler(request: web.Request) -> web.Response:
+    """Host-memory introspection: ?action=start|top|stop (tracemalloc).
+
+    Ops aid for leak hunts on long-running servers; numpy buffers are
+    tracked, native-library allocations are not."""
+    import tracemalloc
+
+    app = request.app
+    action = request.query.get("action", "top")
+    if action == "start":
+        tracemalloc.start(10)
+        app["_tm_base"] = tracemalloc.take_snapshot()
+        return web.json_response({"ok": True})
+    if action == "stop":
+        tracemalloc.stop()
+        app.pop("_tm_base", None)
+        return web.json_response({"ok": True})
+    if not tracemalloc.is_tracing():
+        return web.json_response({"error": "not tracing; ?action=start first"})
+    snap = tracemalloc.take_snapshot()
+    base = app.get("_tm_base")
+    stats = (
+        snap.compare_to(base, "traceback") if base is not None
+        else snap.statistics("traceback")
+    )
+    top = []
+    for s in stats[:15]:
+        size = getattr(s, "size_diff", None)
+        size = s.size if size is None else size
+        count = getattr(s, "count_diff", None)
+        count = s.count if count is None else count
+        top.append(
+            {
+                "kib": round(size / 1024, 1),
+                "count": count,
+                "where": s.traceback.format()[-2:],
+            }
+        )
+    return web.json_response({"top": top})
+
+
 async def _on_startup(app: web.Application):
     engine: Engine = app["engine"]
     engine.start()
@@ -359,6 +400,7 @@ def create_app(config: ServerConfig | None = None, *, engine: Engine | None = No
     app.router.add_get("/stats", stats_handler)
     app.router.add_get("/healthz", healthz)
     app.router.add_post("/profile", profile_handler)
+    app.router.add_get("/debug/memory", debug_memory_handler)
 
     # serve the bundled static client at / when present (production deploys
     # put nginx in front instead, like the reference's frontend container)
