@@ -512,3 +512,34 @@ def test_batch_growth_serves_chunked_while_compiling(rng):
             await eng.stop()
 
     asyncio.run(run())
+
+
+def test_dispatch_worker_orders_and_propagates():
+    """DispatchWorker: results resolve in submission order with pipelining,
+    dispatch/finalize exceptions surface through the future, stop() drains."""
+    from videosd_tpu.runtime.dispatch import DispatchWorker
+
+    async def run():
+        w = DispatchWorker(depth=2)
+        loop = asyncio.get_running_loop()
+        done = []
+
+        def mk(i):
+            return w.run(loop, lambda i=i: i * 10, lambda raw: done.append(raw) or raw)
+
+        futs = [mk(i) for i in range(5)]
+        res = await asyncio.gather(*futs)
+        assert res == [0, 10, 20, 30, 40]
+        assert done == [0, 10, 20, 30, 40]  # finalized oldest-first
+
+        with pytest.raises(RuntimeError):
+            await w.run(loop, lambda: (_ for _ in ()).throw(RuntimeError("d")),
+                        lambda raw: raw)
+        with pytest.raises(ValueError):
+            await w.run(loop, lambda: 1,
+                        lambda raw: (_ for _ in ()).throw(ValueError("f")))
+        # still serviceable after errors
+        assert await w.run(loop, lambda: 7, lambda r: r) == 7
+        w.stop()
+
+    asyncio.run(run())
