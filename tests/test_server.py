@@ -291,3 +291,25 @@ def test_profile_endpoint_captures_trace(tmp_path):
             await client.close()
 
     asyncio.run(run())
+
+
+def test_debug_memory_endpoint():
+    """tracemalloc ops endpoint: start -> top (diff vs baseline) -> stop."""
+
+    async def run():
+        client = await _make_client()
+        try:
+            r = await client.get("/debug/memory")
+            assert "error" in (await r.json())  # not tracing yet
+            r = await client.get("/debug/memory?action=start")
+            assert (await r.json())["ok"]
+            _ = bytearray(512 * 1024)  # some growth to report
+            r = await client.get("/debug/memory")
+            body = await r.json()
+            assert "top" in body and isinstance(body["top"], list)
+            r = await client.get("/debug/memory?action=stop")
+            assert (await r.json())["ok"]
+        finally:
+            await client.close()
+
+    asyncio.run(run())
