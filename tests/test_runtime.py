@@ -543,3 +543,43 @@ def test_dispatch_worker_orders_and_propagates():
         w.stop()
 
     asyncio.run(run())
+
+
+def test_unfallbackable_bucket_passes_through_while_compiling(rng):
+    """A bucket with NO compiled variant (first ref-mode stream) must not
+    sync-compile on the dispatch thread (that would stall every stream):
+    frames pass through as the last output while the program warms in the
+    background (the reference's init-frame-while-loading behavior)."""
+
+    async def run():
+        eng = _mk_engine()
+        eng.start()
+        try:
+            st = eng.open_stream({"height": 32, "width": 32, "steps": 1})
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            await asyncio.wait_for(eng.submit_frame(st.stream_id, frame), 120)
+
+            st2 = eng.open_stream(
+                {"height": 32, "width": 32, "steps": 1, "ref": True}
+            )
+            t0 = asyncio.get_running_loop().time()
+            out = await asyncio.wait_for(eng.submit_frame(st2.stream_id, frame), 30)
+            # resolved quickly (passthrough), ref program compiling behind
+            assert asyncio.get_running_loop().time() - t0 < 30
+            assert out.shape == (32, 32, 3)
+            assert eng._compiling or ((_spec_ready(eng, ref=True)))
+            for _ in range(600):
+                if not eng._compiling:
+                    break
+                await asyncio.sleep(0.5)
+            # once ready, ref frames generate for real
+            out2 = await asyncio.wait_for(eng.submit_frame(st2.stream_id, frame), 120)
+            assert out2.shape == (32, 32, 3)
+            assert any(rm for _s, rm in eng._ready_specs)
+        finally:
+            await eng.stop()
+
+    def _spec_ready(eng, ref):
+        return any(rm == ref for _s, rm in eng._ready_specs)
+
+    asyncio.run(run())

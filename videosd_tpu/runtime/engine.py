@@ -723,6 +723,20 @@ class Engine:
                 if fallback is not None:
                     self._compile_spec_background(loop, spec, ref_mode)
                     spec = fallback
+                elif self._ready_specs:
+                    # nothing can stand in (e.g. first ref-mode stream):
+                    # a sync compile here would sit ON the dispatch thread
+                    # and stall EVERY stream for minutes.  Pass the frames
+                    # through (the reference's init-frame behavior while a
+                    # model loads, server.py:99,122) and warm in background.
+                    self._compile_spec_background(loop, spec, ref_mode)
+                    for st, _buf, _ts in items:
+                        while st.waiters:
+                            wtr = st.waiters.pop(0)
+                            if not wtr.done():
+                                wtr.set_result(st.last_output)
+                                self.telemetry.frames_dropped += 1
+                    return
         t_pack = time.perf_counter()
         # pre-encode any uncached prompts ON THE DISPATCH THREAD (an
         # encoder run from the event loop would be a second thread touching
