@@ -152,3 +152,23 @@ def test_jpeg_codec_roundtrip_matches_pil():
     # when the native path rejects a stream)
     with pytest.raises(Exception):
         jpegcodec.decode_rgb(b"\xff\xd8garbage")
+
+
+def test_jpeg_dims_header_parse():
+    """The SOF scanner sizes decode buffers to the actual frame (a fixed
+    4K bound pinned ~24 MB per executor thread); it must read dimensions
+    from both baseline and progressive streams and reject non-JPEG."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from videosd_tpu.runtime.jpegcodec import _jpeg_dims
+
+    img = Image.fromarray(np.zeros((48, 64, 3), np.uint8))
+    for kwargs in ({}, {"progressive": True}, {"quality": 10}):
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", **kwargs)
+        assert _jpeg_dims(buf.getvalue()) == (48, 64), kwargs
+
+    assert _jpeg_dims(b"\xff\xd8garbage-not-a-jpeg") is None

@@ -23,7 +23,9 @@ device-resident params.
 from __future__ import annotations
 
 import asyncio
+import collections
 import logging
+import threading
 import time
 from typing import Any
 
@@ -53,8 +55,10 @@ class StreamState:
         # prompt-interpolation state: crossfade in embedding space when the
         # prompt changes (BASELINE config 5; option "prompt_blend_frames")
         self.current_emb = None  # (context, pooled) actually used last tick
-        self.blend_from = None
+        self.blend_from = None  # host-numpy snapshot taken at fade start
         self.blend_left = 0
+        self.blend_total = 0  # captured at fade start: a live change to
+        # prompt_blend_frames mid-fade must not jump the interpolant
         self._last_prompt: str | None = None
 
     def similar_to_last(self, frame: np.ndarray, threshold: float) -> bool:
@@ -119,7 +123,14 @@ class Engine:
         self._ready_specs: set = set()
         self._compiling: set = set()
         self._dispatch_threads: dict[str, int] = {}
-        self._prompt_cache: dict[str, Any] = {}
+        # LRU: hits re-insert at the end, eviction pops the oldest entry one
+        # at a time — a wholesale clear() would drop every active stream's
+        # embeddings at once and trigger a re-encode burst on the dispatch
+        # thread
+        self._prompt_cache: collections.OrderedDict[str, Any] = (
+            collections.OrderedDict()
+        )
+        self._prompt_cache_max = 256
         self._encoder = None
         self._loop_task: asyncio.Task | None = None
         # all hot-path program executions go through ONE dispatch thread:
@@ -130,9 +141,11 @@ class Engine:
         self._stopped = asyncio.Event()
         self._wake = asyncio.Event()
         self._inflight: set[asyncio.Task] = set()
-        # background compiles live outside _inflight: they must not eat one
-        # of the 2 pipelined-dispatch slots
-        self._bg_tasks: set[asyncio.Task] = set()
+        # background compiles run on dedicated daemon threads, NOT the
+        # event loop's default executor: asyncio.run() joins the default
+        # executor at teardown, so an uncancellable multi-minute XLA compile
+        # there would hang a graceful shutdown until it finished
+        self._bg_threads: set[threading.Thread] = set()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -170,6 +183,27 @@ class Engine:
                 None, self._dispatcher.stop
             )
             self._dispatcher = None
+        # bounded drain of background compiles: their results are
+        # discardable, so shutdown must never hang behind an XLA compile —
+        # daemon threads that outlive the deadline just finish on their own
+        threads = [t for t in self._bg_threads if t.is_alive()]
+        if threads:
+
+            def drain():
+                deadline = time.monotonic() + 10.0
+                for t in threads:
+                    t.join(timeout=max(0.0, deadline - time.monotonic()))
+                return sum(t.is_alive() for t in threads)
+
+            leftover = await asyncio.get_running_loop().run_in_executor(
+                None, drain
+            )
+            if leftover:
+                logging.getLogger("videosd_tpu.engine").warning(
+                    "%d background compile(s) still running at shutdown "
+                    "(abandoned)", leftover,
+                )
+        self._bg_threads.clear()
 
     # ------------------------------------------------------------ streams
 
@@ -320,27 +354,54 @@ class Engine:
                 self._encoder = build_prompt_encoder(self.bundle)
             ids = jnp.asarray(self.bundle.tokenizer([prompt]), jnp.int32)
             cached = self._encoder(self.bundle.params, ids)
-            if len(self._prompt_cache) > 256:
-                self._prompt_cache.clear()
+            while len(self._prompt_cache) >= self._prompt_cache_max:
+                self._prompt_cache.popitem(last=False)  # LRU-evict oldest
             self._prompt_cache[prompt] = cached
+        else:
+            self._prompt_cache.move_to_end(prompt)
         return cached
 
     def _stream_embeds(self, st: StreamState):
         """Prompt embeddings for one stream, crossfaded in embedding space
         when the prompt changes and "prompt_blend_frames" > 0 — a smooth
-        live-prompt interpolation instead of a hard cut."""
+        live-prompt interpolation instead of a hard cut.
+
+        Runs on the EVENT LOOP thread: must not issue device computations
+        (single-dispatch-thread invariant, runtime/dispatch.py).  Cache
+        lookups only; the crossfade math runs in host numpy on snapshots."""
         prompt = str(st.options["prompt"])
-        target = self._encode_prompt(prompt)
+        target = self._prompt_cache.get(prompt)
+        if target is not None:
+            self._prompt_cache.move_to_end(prompt)
+        elif st.current_emb is not None:
+            # prompt mutated between the dispatcher pre-encode and this
+            # pack (rare): serve the previous embedding this tick instead
+            # of running the encoder on the event loop; the next tick's
+            # pre-encode warms the cache and the fade starts then.
+            return st.current_emb
+        else:
+            # brand-new stream whose prompt mutated inside the same window
+            # — nothing older to serve; one-off encode.
+            target = self._encode_prompt(prompt)
         blend = int(st.options.get("prompt_blend_frames", 0) or 0)
         if st._last_prompt is not None and prompt != st._last_prompt and blend > 0:
-            st.blend_from = st.current_emb or target
-            st.blend_left = blend
+            prev = st.current_emb if st.current_emb is not None else target
+            # host snapshot at fade start (bounded D2H; fades are rare)
+            st.blend_from = tuple(
+                None if a is None else np.asarray(a) for a in prev
+            )
+            st.blend_total = blend  # capture: live slider moves mid-fade
+            st.blend_left = blend  # must not jump the interpolant
         st._last_prompt = prompt
-        if st.blend_left > 0 and st.blend_from is not None:
-            t = 1.0 - st.blend_left / (int(st.options.get("prompt_blend_frames", 0)) or st.blend_left)
+        if st.blend_left > 0 and st.blend_from is not None and st.blend_total:
+            t = 1.0 - st.blend_left / st.blend_total
             st.blend_left -= 1
+            tgt = tuple(None if a is None else np.asarray(a) for a in target)
             emb = tuple(
-                (1.0 - t) * a + t * b for a, b in zip(st.blend_from, target)
+                None
+                if b is None
+                else ((1.0 - t) * a.astype(np.float32) + t * b.astype(np.float32)).astype(b.dtype)
+                for a, b in zip(st.blend_from, tgt)
             )
         else:
             emb = target
@@ -435,11 +496,13 @@ class Engine:
             finally:
                 self._compiling.discard(key)
 
-        task = loop.run_in_executor(None, work)
-        # keep a reference so the executor job isn't GC'd mid-flight
-        t = asyncio.ensure_future(task)
-        self._bg_tasks.add(t)
-        t.add_done_callback(self._bg_tasks.discard)
+        # dedicated daemon thread, NOT loop.run_in_executor: asyncio.run()
+        # joins the default executor at teardown, which would block a
+        # graceful shutdown behind an uncancellable XLA compile
+        t = threading.Thread(target=work, name="bucket-compile", daemon=True)
+        self._bg_threads = {th for th in self._bg_threads if th.is_alive()}
+        self._bg_threads.add(t)
+        t.start()
 
     def _dummy_batch(self, spec):
         import jax.numpy as jnp
@@ -662,10 +725,11 @@ class Engine:
                 self._inflight.add(task)
                 task.add_done_callback(self._inflight.discard)
 
-        if self._inflight or self._bg_tasks:
-            await asyncio.gather(
-                *self._inflight, *self._bg_tasks, return_exceptions=True
-            )
+        # only in-flight dispatches are awaited here; background compiles
+        # (potentially multi-minute, uncancellable) are drained with a
+        # bounded join in stop() — never block the loop exit on them
+        if self._inflight:
+            await asyncio.gather(*self._inflight, return_exceptions=True)
 
     async def _process_group(self, loop, key, items):
         import jax.numpy as jnp
@@ -723,12 +787,13 @@ class Engine:
                 if fallback is not None:
                     self._compile_spec_background(loop, spec, ref_mode)
                     spec = fallback
-                elif self._ready_specs:
-                    # nothing can stand in (e.g. first ref-mode stream):
-                    # a sync compile here would sit ON the dispatch thread
-                    # and stall EVERY stream for minutes.  Pass the frames
-                    # through (the reference's init-frame behavior while a
-                    # model loads, server.py:99,122) and warm in background.
+                else:
+                    # nothing can stand in (cold start, or the first
+                    # ref-mode stream): a sync compile here would sit ON
+                    # the dispatch thread and serialize EVERY stream behind
+                    # a multi-minute XLA compile.  Pass the frames through
+                    # (the reference's init-frame behavior while a model
+                    # loads, server.py:99,122) and warm in background.
                     self._compile_spec_background(loop, spec, ref_mode)
                     for st, _buf, _ts in items:
                         while st.waiters:
@@ -740,18 +805,32 @@ class Engine:
         t_pack = time.perf_counter()
         # pre-encode any uncached prompts ON THE DISPATCH THREAD (an
         # encoder run from the event loop would be a second thread touching
-        # the runtime — the exact pattern that leaks, runtime/dispatch.py)
+        # the runtime — the exact pattern that leaks, runtime/dispatch.py).
+        # Inside a protected region: a tokenizer/encoder failure must
+        # resolve the waiters (with the last good output) instead of
+        # killing this task and stranding the submit futures forever.
         import functools as _ft
 
-        missing = {
-            str(st.options["prompt"])
-            for st, _buf, _ts in items
-            if str(st.options["prompt"]) not in self._prompt_cache
-        }
-        for pr in missing:
-            await self._get_dispatcher().run(
-                loop, _ft.partial(self._encode_prompt, pr), lambda r: None
+        try:
+            missing = {
+                str(st.options["prompt"])
+                for st, _buf, _ts in items
+                if str(st.options["prompt"]) not in self._prompt_cache
+            }
+            for pr in missing:
+                await self._get_dispatcher().run(
+                    loop, _ft.partial(self._encode_prompt, pr), lambda r: None
+                )
+        except Exception:
+            logging.getLogger("videosd_tpu.engine").exception(
+                "prompt pre-encode failed for bucket %s", spec
             )
+            for st, _buf, _ts in items:
+                while st.waiters:
+                    wtr = st.waiters.pop(0)
+                    if not wtr.done():
+                        wtr.set_result(st.last_output)
+            return
         frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         strength = np.full((b,), 0.6, np.float32)
