@@ -154,6 +154,52 @@ def test_jpeg_codec_roundtrip_matches_pil():
         jpegcodec.decode_rgb(b"\xff\xd8garbage")
 
 
+def test_crop_resize_exact_when_box_matches_output():
+    """A traced source box whose size equals the output degenerates to a
+    bit-exact crop (integer sample positions, zero bilinear weights)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videosd_tpu.ops import crop_resize
+
+    rng = np.random.default_rng(0)
+    mailbox = np.zeros((1, 64, 64, 3), np.uint8)
+    patch = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    mailbox[0, :40, :40] = patch
+    out = np.asarray(
+        crop_resize(
+            jnp.asarray(mailbox), jnp.asarray([[4, 4, 32, 32]], jnp.int32), 32, 32
+        )
+    )
+    np.testing.assert_allclose(
+        out[0], patch[4:36, 4:36].astype(np.float32) / 255.0, atol=1e-6
+    )
+
+
+def test_crop_resize_center_crops_true_camera_extent():
+    """The VERDICT regression case: a 768x576 camera frame in a 768x768
+    mailbox must center-crop the middle 576 columns (the old top-left
+    mailbox fit silently lost the right third).  Geometry comes from the
+    same center_crop_box as the static path (videopipeline.py:91-107)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videosd_tpu.ops import center_crop_box, crop_resize
+
+    frame = np.zeros((1, 768, 768, 3), np.uint8)  # mailbox, camera 576x768
+    frame[0, :576, :96, 0] = 255  # left strip red
+    frame[0, :576, 96:672, 1] = 255  # center green
+    frame[0, :576, 672:768, 2] = 255  # right strip blue
+    left, top, right, bottom = center_crop_box(768, 576, 512, 512)
+    box = jnp.asarray([[top, left, bottom - top, right - left]], jnp.int32)
+    out = np.asarray(crop_resize(jnp.asarray(frame), box, 512, 512))
+    assert out.shape == (1, 512, 512, 3)
+    inner = out[0, 2:-2, 2:-2, :]
+    assert inner[..., 1].min() > 0.9  # all green: centered crop
+    assert inner[..., 0].max() < 0.1  # no red (left strip cropped away)
+    assert inner[..., 2].max() < 0.1  # no blue (right strip cropped away)
+
+
 def test_jpeg_dims_header_parse():
     """The SOF scanner sizes decode buffers to the actual frame (a fixed
     4K bound pinned ~24 MB per executor thread); it must read dimensions

@@ -83,6 +83,45 @@ def test_reference_image_influences_output(bundle, embeds, rng):
     assert np.abs(np.asarray(out_a).astype(int) - np.asarray(out_b).astype(int)).max() > 0
 
 
+def test_style_fidelity_zero_reduces_to_plain_program(bundle, embeds, rng):
+    """sf=0 must mean "ignore the reference" LITERALLY: the output equals
+    the plain (no-ControlNet) frame program's output bit-for-bit.  An
+    implementation that scales banked tokens by sf instead would leave
+    zero-tokens occupying softmax mass and fail this.
+    Matches lcm_reference_pipeline.py:545,605 intent."""
+    from videosd_tpu.pipelines.lcm_img2img import build_frame_program
+
+    ref_prog = build_reference_program(bundle, SPEC)
+    plain_prog = build_frame_program(bundle, SPEC)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    ref = jnp.asarray(np.full((1, 32, 32, 3), 255, np.uint8))  # loud ref
+    strength, guidance, sf0, seed = _opts(0.0)
+    out_ref, lat_ref = ref_prog(bundle.params, frame, ref, embeds, strength, guidance, sf0, seed)
+    out_plain, lat_plain = plain_prog(
+        bundle.params, frame, embeds, strength, guidance,
+        jnp.array([2.0], jnp.float32), seed,
+    )
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_plain))
+    np.testing.assert_allclose(
+        np.asarray(lat_ref), np.asarray(lat_plain), atol=1e-6
+    )
+
+
+def test_style_fidelity_interpolates_monotonically(bundle, embeds, rng):
+    """Raising sf moves the output monotonically away from the sf=0
+    (plain) image toward the fully-banked sf=1 image."""
+    prog = build_reference_program(bundle, SPEC)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    ref = jnp.asarray(np.full((1, 32, 32, 3), 255, np.uint8))
+    outs = {}
+    for sf in (0.0, 0.33, 0.66, 1.0):
+        out, _ = prog(bundle.params, frame, ref, embeds, *_opts(sf))
+        outs[sf] = np.asarray(out).astype(np.float64)
+    d = [np.abs(outs[sf] - outs[0.0]).mean() for sf in (0.33, 0.66, 1.0)]
+    assert d[0] > 0  # the reference has SOME pull at sf>0
+    assert d[0] < d[1] < d[2], d  # and the pull grows with sf
+
+
 def test_reference_program_sdxl_family(rng):
     """text_time micro-conditioning threads through both UNet passes."""
     xb = ModelBundle.random("tiny-xl", dtype=jnp.float32, with_controlnet=False)

@@ -50,10 +50,18 @@ class BankReader:
     same order regardless of which block it is in — this thin cursor keeps
     that pairing explicit (the functional analog of the reference's
     per-module ``self.bank`` attributes, lcm_reference_pipeline.py:551-560).
+
+    ``fidelity`` (style_fidelity, [B,1,1] or scalar) blends the banked and
+    plain self-attention OUTPUTS at each read site: 0 reduces exactly to
+    the no-reference program, 1 is fully-banked attention (the reference's
+    intent at lcm_reference_pipeline.py:545 for the no-CFG LCM regime).
+    Scaling the banked *tokens* instead would leave zero-tokens occupying
+    softmax mass at fidelity 0 (logit 0 != -inf) — not a no-op.
     """
 
-    def __init__(self, entries):
+    def __init__(self, entries, fidelity=1.0):
         self.entries = list(entries)
+        self.fidelity = fidelity
         self._i = 0
 
     def next(self):
@@ -234,18 +242,37 @@ def transformer_block_init(key, cfg: UNetConfig, dim: int) -> Params:
 
 
 def transformer_block_apply(
-    p: Params, cfg: UNetConfig, x, context, *, num_heads: int, self_kv=None
+    p: Params, cfg: UNetConfig, x, context, *, num_heads: int, self_kv=None,
+    self_kv_weight=1.0,
 ):
     """One BasicTransformerBlock: self-attn -> cross-attn -> GEGLU FF.
 
     ``self_kv``: optional extra key/value sequence concatenated to the
     self-attention context — the functional form of the reference-attention
     mode's banked hidden states (lcm_reference_pipeline.py:498-585).
+    ``self_kv_weight`` (style_fidelity, [B,1,1] or scalar): output blend
+    between the banked and plain self-attention branches.  0 reduces
+    EXACTLY to the no-reference block (the banked branch's contribution is
+    multiplied out), 1 is fully-banked attention — the reference's intent
+    ("0 = ignore reference") in the no-CFG LCM regime
+    (lcm_reference_pipeline.py:545).
     """
     with jax.named_scope("self_attn"):
         h = layer_norm(p["norm1"], x)
-        kv = h if self_kv is None else jnp.concatenate([h, self_kv], axis=1)
-        x = x + cross_attn_apply(p["attn1"], h, kv, num_heads=num_heads)
+        if self_kv is None:
+            attn = cross_attn_apply(p["attn1"], h, h, num_heads=num_heads)
+        else:
+            banked = cross_attn_apply(
+                p["attn1"], h, jnp.concatenate([h, self_kv], axis=1),
+                num_heads=num_heads,
+            )
+            plain = cross_attn_apply(p["attn1"], h, h, num_heads=num_heads)
+            sf = jnp.asarray(self_kv_weight, jnp.float32)
+            attn = (
+                sf * banked.astype(jnp.float32)
+                + (1.0 - sf) * plain.astype(jnp.float32)
+            ).astype(x.dtype)
+        x = x + attn
     with jax.named_scope("cross_attn"):
         h = layer_norm(p["norm2"], x)
         x = x + cross_attn_apply(p["attn2"], h, context, num_heads=num_heads)
@@ -310,7 +337,10 @@ def transformer2d_apply(
         if bank_out is not None:
             bank_out.append(layer_norm(blk["norm1"], h))
         self_kv = bank.next() if bank is not None else None
-        h = transformer_block_apply(blk, cfg, h, context, num_heads=heads, self_kv=self_kv)
+        h = transformer_block_apply(
+            blk, cfg, h, context, num_heads=heads, self_kv=self_kv,
+            self_kv_weight=bank.fidelity if bank is not None else 1.0,
+        )
     h = linear(_proj_as_linear(p["proj_out"]), h)
     h = h.reshape(b, hh, ww, c)
     return h + residual

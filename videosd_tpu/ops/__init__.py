@@ -1,5 +1,6 @@
 from videosd_tpu.ops.preprocess import (
     center_crop_box,
+    crop_resize,
     postprocess_image,
     preprocess_frame,
     yuv420_to_rgb,
@@ -8,6 +9,7 @@ from videosd_tpu.ops.sobel import rgb_to_gray, sobel_control_image, sobel_edges
 
 __all__ = [
     "center_crop_box",
+    "crop_resize",
     "postprocess_image",
     "preprocess_frame",
     "yuv420_to_rgb",

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "center_crop_box",
+    "crop_resize",
     "preprocess_frame",
     "postprocess_image",
     "yuv420_to_rgb",
@@ -44,6 +45,54 @@ def center_crop_box(in_w: int, in_h: int, out_w: int, out_h: int):
         right = float(in_w)
         bottom = (in_h + new_h) / 2
     return int(left), int(top), int(right), int(bottom)
+
+
+def crop_resize(
+    frame_u8: jax.Array, box: jax.Array, out_h: int, out_w: int, dtype=jnp.float32
+) -> jax.Array:
+    """Per-element TRACED source rectangle -> fixed-size float [0,1] output.
+
+    frame_u8: [B, Hm, Wm, 3] uint8 mailbox frames (camera frames live in
+    the top-left corner of a fixed-size mailbox buffer).
+    box: [B, 4] int32 (top, left, height, width) — the rectangle to
+    resample.  Callers pass the host-computed :func:`center_crop_box` of
+    the TRUE camera extent, so crop geometry matches the reference's
+    full-resolution center crop (diffusert/videopipeline.py:91-107)
+    exactly, while ONE compiled program serves every camera resolution
+    that fits the mailbox — the rectangle is traced data, not a shape.
+
+    Separable bilinear resampling via two row/column ``jnp.take`` passes
+    (contiguous row gathers, VPU-friendly).  When the rectangle already
+    has the output size, the sample points land on exact integer indices
+    and the op degenerates to a bit-exact crop.
+    """
+    _, H, W, _ = frame_u8.shape
+
+    def one(frame, b):
+        bf = b.astype(jnp.float32)
+        top, left, h, w = bf[0], bf[1], bf[2], bf[3]
+        sy = h / out_h
+        sx = w / out_w
+        ys = top + (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
+        xs = left + (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
+        y0 = jnp.floor(ys)
+        x0 = jnp.floor(xs)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+        y1i = jnp.clip(y0i + 1, 0, H - 1)
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+        x1i = jnp.clip(x0i + 1, 0, W - 1)
+        f = frame.astype(jnp.float32)
+        wy = (ys - y0)[:, None, None]
+        rows = jnp.take(f, y0i, axis=0) * (1.0 - wy) + jnp.take(f, y1i, axis=0) * wy
+        wx = (xs - x0)[None, :, None]
+        out = (
+            jnp.take(rows, x0i, axis=1) * (1.0 - wx)
+            + jnp.take(rows, x1i, axis=1) * wx
+        )
+        return out / 255.0
+
+    out = jax.vmap(one)(frame_u8, box)
+    return jnp.clip(out, 0.0, 1.0).astype(dtype)
 
 
 def preprocess_frame(

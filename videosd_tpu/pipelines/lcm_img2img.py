@@ -53,7 +53,12 @@ from videosd_tpu.models import (
     VAEConfig,
 )
 from videosd_tpu.models.layers import guidance_embedding
-from videosd_tpu.ops import postprocess_image, preprocess_frame, sobel_control_image
+from videosd_tpu.ops import (
+    crop_resize,
+    postprocess_image,
+    preprocess_frame,
+    sobel_control_image,
+)
 from videosd_tpu.schedulers import (
     LCMSchedulerConfig,
     add_noise,
@@ -285,10 +290,17 @@ def frame_program(
     warm_latents=None,
     warm_alpha=None,
     pooled_embeds=None,
+    src_box=None,
 ):
     """The pure frame function (jit via :func:`build_frame_program`).
 
     frame_u8: [B, Hin, Win, 3] uint8 device-resident camera frames.
+    src_box: optional [B, 4] int32 (top, left, height, width) — the TRUE
+    camera extent inside a fixed-size mailbox buffer, as a traced value:
+    one compiled program then serves every camera geometry that fits the
+    mailbox, center-cropping exactly what the reference's full-resolution
+    host crop would (videopipeline.py:91-107).  None = the whole frame is
+    valid (static center-crop path; tools/bench).
     prompt_embeds: [B, 77, D] pre-encoded text context (prompt caching is
     the server's job; reference re-encodes per frame, lcm_controlnet.py:449).
     strength/guidance_scale/controlnet_scale: [B] fp32.  seed: [B] int32.
@@ -309,7 +321,14 @@ def frame_program(
     # named scopes label the HLO op metadata so /profile can symbolize
     # fusions back to model blocks (zero runtime/compile-cache cost)
     with jax.named_scope("preprocess"):
-        img01 = preprocess_frame(frame_u8, spec.height, spec.width, dtype=jnp.float32)
+        if src_box is not None:
+            img01 = crop_resize(
+                frame_u8, src_box, spec.height, spec.width, dtype=jnp.float32
+            )
+        else:
+            img01 = preprocess_frame(
+                frame_u8, spec.height, spec.width, dtype=jnp.float32
+            )
 
         ctrl = None
         if spec.use_controlnet:
@@ -462,6 +481,7 @@ def build_frame_program(bundle: ModelBundle, spec: FrameSpec):
         warm_latents=None,
         warm_alpha=None,
         pooled_embeds=None,
+        src_box=None,
     ):
         return fn(
             params,
@@ -475,6 +495,7 @@ def build_frame_program(bundle: ModelBundle, spec: FrameSpec):
             warm_latents=warm_latents,
             warm_alpha=warm_alpha,
             pooled_embeds=pooled_embeds,
+            src_box=src_box,
         )
 
     return jax.jit(wrapper)

@@ -22,9 +22,11 @@ CFG note: the reference blends banked vs. plain branches with
 (:545, :605).  LCM runs without CFG (lcm_controlnet.py:197-198), where the
 reference's math reduces to fully-banked attention + AdaIN regardless of
 ``style_fidelity``; we therefore apply ``style_fidelity`` as an explicit
-output blend between the styled and unstyled attention branches, which
-recovers the reference's *intent* (0 = ignore reference, 1 = full
-reference) in the no-CFG regime.
+OUTPUT blend between the banked and plain self-attention branches (and
+between AdaIN-styled and raw activations), which recovers the reference's
+*intent* (0 = ignore reference, 1 = full reference) in the no-CFG regime.
+sf=0 reduces bit-exactly to the plain (no-ControlNet) frame program —
+pinned by tests/test_reference_attn.py.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ import jax.numpy as jnp
 
 from videosd_tpu.models.layers import guidance_embedding
 from videosd_tpu.models.unet import BankReader, unet_apply
-from videosd_tpu.ops import postprocess_image, preprocess_frame
+from videosd_tpu.ops import crop_resize, postprocess_image, preprocess_frame
 from videosd_tpu.pipelines.lcm_img2img import (
     FrameSpec,
     ModelBundle,
@@ -97,19 +99,29 @@ def reference_frame_program(
     style_fidelity,
     seed,
     pooled_embeds=None,
+    src_box=None,
+    ref_box=None,
 ):
     """Reference-mode frame step.
 
     ref_frame_u8: [B, H, W, 3] style reference image (the reference keeps
     it per track and re-noises it each step, lcm_reference_pipeline.py:
     865-880).  No ControlNet in this mode, matching the reference's
-    reference-pipeline variant.
+    reference-pipeline variant.  src_box/ref_box: optional traced [B,4]
+    (top, left, height, width) camera/ref extents inside the mailbox
+    (see lcm_img2img.frame_program).
     """
     B, S = spec.batch, spec.steps
     cfgs = (taesd_cfg, vae_cfg)
 
-    img01 = preprocess_frame(frame_u8, spec.height, spec.width, dtype=jnp.float32)
-    ref01 = preprocess_frame(ref_frame_u8, spec.height, spec.width, dtype=jnp.float32)
+    if src_box is not None:
+        img01 = crop_resize(frame_u8, src_box, spec.height, spec.width, dtype=jnp.float32)
+    else:
+        img01 = preprocess_frame(frame_u8, spec.height, spec.width, dtype=jnp.float32)
+    if ref_box is not None:
+        ref01 = crop_resize(ref_frame_u8, ref_box, spec.height, spec.width, dtype=jnp.float32)
+    else:
+        ref01 = preprocess_frame(ref_frame_u8, spec.height, spec.width, dtype=jnp.float32)
     latents0 = _encode_latents(cfgs, params, spec, (img01 * 2 - 1).astype(dtype))
     ref_lat0 = _encode_latents(cfgs, params, spec, (ref01 * 2 - 1).astype(dtype))
 
@@ -183,10 +195,11 @@ def reference_frame_program(
             adain=adain_w,
         )
 
-        # style_fidelity scales the banked K/V contribution
-        bank = BankReader(
-            [(sf * b.astype(jnp.float32)).astype(dtype) for b in bank_out]
-        )
+        # style_fidelity blends the banked vs. plain self-attention OUTPUTS
+        # inside each block (unet.transformer_block_apply): sf=0 reduces
+        # exactly to the no-reference program — scaling the banked tokens
+        # instead would leave zero-tokens holding softmax mass at sf=0
+        bank = BankReader([b.astype(dtype) for b in bank_out], fidelity=sf)
 
         # READ pass on the actual latents
         adain_r = AdainBank(
@@ -230,7 +243,7 @@ def build_reference_program(bundle: ModelBundle, spec: FrameSpec):
 
     def wrapper(
         params, frame_u8, ref_u8, prompt_embeds, strength, guidance, sf, seed,
-        pooled_embeds=None,
+        pooled_embeds=None, src_box=None, ref_box=None,
     ):
         return reference_frame_program(
             params,
@@ -249,6 +262,8 @@ def build_reference_program(bundle: ModelBundle, spec: FrameSpec):
             sf,
             seed,
             pooled_embeds=pooled_embeds,
+            src_box=src_box,
+            ref_box=ref_box,
         )
 
     return jax.jit(wrapper)
