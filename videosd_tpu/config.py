@@ -143,6 +143,14 @@ class ServerConfig:
     # mesh axis sizes; data * model must equal `gpus`
     mesh_data: int | None = None
     mesh_model: int = 1
+    # camera-frame mailbox (h, w): fixed-size per-stream frame buffers.
+    # Camera frames up to this size keep their FULL field of view — the
+    # on-device crop sees the true extent via a traced source box, so the
+    # center-crop matches the reference's full-resolution host crop
+    # (videopipeline.py:91-107).  Default covers the client's max
+    # negotiated size (768 long side, index.tsx:218-229); larger camera
+    # frames are host-center-cropped to the mailbox.
+    frame_hw: tuple = (768, 768)
     # static compile buckets: when non-empty, requested stream resolutions
     # snap to the nearest (h, w) bucket — bounds the number of compiled
     # programs (each fresh resolution is a multi-minute XLA compile, a DoS
@@ -160,8 +168,16 @@ class ServerConfig:
         fields = {f.name for f in dataclasses.fields(cls)}
         known = {k: v for k, v in d.items() if k in fields}
         cfg = cls(**known)
+        cfg.frame_hw = tuple(int(x) for x in cfg.frame_hw)
         if cfg.mesh_data is None:
             cfg.mesh_data = max(1, cfg.gpus // max(1, cfg.mesh_model))
+        elif cfg.mesh_data * max(1, cfg.mesh_model) != max(1, cfg.gpus):
+            # a silently-ignored mesh spec would serve on the wrong number
+            # of chips; fail loudly at config load
+            raise ValueError(
+                f"mesh_data ({cfg.mesh_data}) x mesh_model ({cfg.mesh_model})"
+                f" must equal gpus ({cfg.gpus})"
+            )
         return cfg
 
 

@@ -7,6 +7,11 @@ its share of concurrent streams) and params either replicate (SD1.5-scale)
 or tensor-shard over ``model`` (SDXL 1024²) per parallel.mesh.PARAM_RULES.
 XLA places the collectives on ICI; the host never touches a frame between
 stages.
+
+:func:`shard_program` is the integration point the serving Engine uses
+(runtime/engine.py builds it into its per-bucket program cache when
+``config.gpus > 1``); :class:`ShardedFrameEngine` is the standalone
+wrapper for scripts/offline use.
 """
 
 from __future__ import annotations
@@ -21,7 +26,36 @@ from videosd_tpu.pipelines.lcm_img2img import (
     build_frame_program,
 )
 
-__all__ = ["ShardedFrameEngine"]
+__all__ = ["ShardedFrameEngine", "shard_program"]
+
+
+def shard_program(base, mesh):
+    """Wrap a jitted frame program so every batch-leading input is placed
+    batch-sharded over the mesh's ``data`` axis before the call.
+
+    ``params`` (first positional) must already be mesh-placed (see
+    parallel.mesh.shard_params); everything else — frames, embeds,
+    per-element sliders, seeds, warm latents, source boxes — is [B, ...]
+    with B a multiple of the data-axis size, so a P("data") placement
+    splits rows across chips and XLA partitions the whole program (GSPMD).
+    The underlying jit function stays reachable as ``.base`` / ``._base``
+    for AOT relowering (hlo symbolization).
+    """
+    data = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        return None if x is None else jax.device_put(x, data)
+
+    def sharded(params, *batch_args, **batch_kwargs):
+        return base(
+            params,
+            *[put(a) for a in batch_args],
+            **{k: put(v) for k, v in batch_kwargs.items()},
+        )
+
+    sharded._base = base
+    sharded.base = base
+    return sharded
 
 
 class ShardedFrameEngine:
@@ -47,11 +81,6 @@ class ShardedFrameEngine:
     def data_size(self) -> int:
         return self.mesh.shape["data"]
 
-    def _in_shardings(self):
-        mesh = self.mesh
-        batch = NamedSharding(mesh, P("data"))
-        return batch
-
     def program(self, spec: FrameSpec):
         if spec.batch % self.data_size:
             raise ValueError(
@@ -59,43 +88,14 @@ class ShardedFrameEngine:
             )
         prog = self._programs.get(spec)
         if prog is None:
-            base = build_frame_program(self.bundle, spec)
-            mesh = self.mesh
-            data = NamedSharding(mesh, P("data"))
-
-            def sharded(
-                params,
-                frame_u8,
-                embeds,
-                strength,
-                guidance,
-                cn,
-                seed,
-                warm_latents=None,
-                warm_alpha=None,
-                pooled_embeds=None,
-            ):
-                put = lambda x: None if x is None else jax.device_put(x, data)  # noqa: E731
-                return base(
-                    params,
-                    put(frame_u8),
-                    put(embeds),
-                    put(strength),
-                    put(guidance),
-                    put(cn),
-                    put(seed),
-                    warm_latents=put(warm_latents),
-                    warm_alpha=put(warm_alpha),
-                    pooled_embeds=put(pooled_embeds),
-                )
-
-            self._programs[spec] = sharded
-            prog = sharded
+            prog = shard_program(build_frame_program(self.bundle, spec), self.mesh)
+            self._programs[spec] = prog
         return prog
 
     def run(self, spec: FrameSpec, frame_u8, embeds, strength, guidance, cn, seed, **kw):
-        """kw: warm_latents/warm_alpha (temporal warm-start) and
-        pooled_embeds (SDXL text_time), all sharded over the data axis."""
+        """kw: warm_latents/warm_alpha (temporal warm-start), pooled_embeds
+        (SDXL text_time), src_box (true camera extents), all sharded over
+        the data axis."""
         return self.program(spec)(
             self.params, frame_u8, embeds, strength, guidance, cn, seed, **kw
         )

@@ -50,6 +50,12 @@ class StreamState:
         self.last_latents = None
         self.ref_frame: np.ndarray | None = None
         self.last_input: np.ndarray | None = None
+        # true (h, w) of the latest camera frame inside the mailbox — the
+        # on-device crop must see the REAL extent, not the mailbox shape
+        self.in_hw: tuple[int, int] | None = None
+        # true extent of ref_frame when it came from a camera frame that
+        # already fills the mailbox; None = derive from ref_frame.shape
+        self.ref_hw: tuple[int, int] | None = None
         self.waiters: list[asyncio.Future] = []
         self.active = True
         # prompt-interpolation state: crossfade in embedding space when the
@@ -85,7 +91,7 @@ class Engine:
         max_streams: int = 16,
         max_batch: int = 8,
         deadline_ms: float | None = None,
-        frame_hw: tuple[int, int] = (512, 512),
+        frame_hw: tuple[int, int] | None = None,
     ):
         self.config = config or ServerConfig()
         # durable XLA compile cache: frame programs are multi-minute
@@ -100,15 +106,26 @@ class Engine:
             (deadline_ms if deadline_ms is not None else self.config.batch_deadline_ms)
             / 1e3
         )
-        self.frame_hw = frame_hw
+        # mailbox geometry is config-driven (reference crops at full camera
+        # resolution; the mailbox must fit the negotiated camera size)
+        self.frame_hw = tuple(frame_hw or self.config.frame_hw)
         self.telemetry = Telemetry()
-        self.queue = FrameQueue(max_streams, frame_hw[0] * frame_hw[1] * 3)
+        self.queue = FrameQueue(
+            max_streams, self.frame_hw[0] * self.frame_hw[1] * 3
+        )
         self.streams: dict[int, StreamState] = {}
         # mailbox slots are a fixed pool; closed streams recycle their slot
         # (a monotonically increasing id would refuse new sessions after
         # max_streams TOTAL connections over the server's lifetime)
         self._free_slots = list(range(max_streams))
         self._programs: dict[Any, Any] = {}
+        # multi-chip serving: a ("data","model") jax.sharding.Mesh built
+        # from config.gpus/mesh_model (the reference's actor-pool scaling,
+        # server.py:317-321, as ONE sharded program over ICI).  Lazy: the
+        # first program build resolves it so engines on 1 chip pay nothing.
+        self._mesh = None
+        self._mesh_checked = False
+        self._mesh_params = None
         # abstract (args, kwargs) shapes per program key, captured at first
         # dispatch — lets /profile AOT-relower the program to symbolize HLO
         # fusion names back to model blocks (hlo_symbols)
@@ -160,6 +177,51 @@ class Engine:
             dtype = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
             self._bundle = ModelBundle.random(family, dtype=dtype)
         return self._bundle
+
+    @property
+    def mesh(self):
+        """("data","model") device mesh when config asks for >1 device
+        (config.yaml ``gpus``/``mesh_model`` — the reference's gpus key,
+        config.yaml:3), else None.  Falls back with a warning when fewer
+        devices exist than requested (the reference would crash its Ray
+        actor pool in that case; degrading loudly is kinder)."""
+        if not self._mesh_checked:
+            self._mesh_checked = True
+            n = int(self.config.gpus or 1)
+            if n > 1:
+                import jax
+
+                from videosd_tpu.parallel.mesh import make_mesh
+
+                mp = max(1, int(self.config.mesh_model or 1))
+                avail = len(jax.devices())
+                if avail < n:
+                    n_eff = max(1, (avail // mp) * mp)
+                    logging.getLogger("videosd_tpu.engine").warning(
+                        "config requests gpus=%d but only %d device(s) "
+                        "exist; serving on %d", n, avail, n_eff,
+                    )
+                    n = n_eff
+                if n > 1:
+                    self._mesh = make_mesh(n, model_parallel=mp)
+        return self._mesh
+
+    @property
+    def data_axis(self) -> int:
+        """Batch buckets must be multiples of this (rows shard evenly)."""
+        return self.mesh.shape["data"] if self.mesh is not None else 1
+
+    @property
+    def params(self):
+        """Model params, mesh-placed per PARAM_RULES when serving sharded
+        (replicate SD1.5-scale, tensor-shard attention/FF for SDXL)."""
+        if self.mesh is not None:
+            if self._mesh_params is None:
+                from videosd_tpu.parallel.mesh import shard_params
+
+                self._mesh_params = shard_params(self.bundle.params, self.mesh)
+            return self._mesh_params
+        return self.bundle.params
 
     def start(self):
         if self._loop_task is None:
@@ -239,6 +301,7 @@ class Engine:
         if "set_ref" in msg:
             if st.last_output is not None:
                 st.ref_frame = st.last_output.copy()
+                st.ref_hw = None  # derive extent from the output's shape
             msg.pop("set_ref")
         st.options.update(msg)
 
@@ -250,7 +313,7 @@ class Engine:
         — output-fps == input-fps decoupling, server.py:140-143)."""
         st = self.streams[sid]
         self.telemetry.frames_in += 1
-        frame = self._fit_frame(frame)
+        frame, st.in_hw = self._fit_frame(frame)
         sim_thresh = float(st.options.get("similarity_threshold", 0.0) or 0.0)
         if st.last_output is not None and st.similar_to_last(frame, sim_thresh):
             self.telemetry.frames_dropped += 1
@@ -262,6 +325,7 @@ class Engine:
             h, w = int(st.options["height"]), int(st.options["width"])
             st.last_output = np.zeros((h, w, 3), np.uint8)
             st.ref_frame = frame
+            st.ref_hw = st.in_hw
         fut = asyncio.get_running_loop().create_future()
         st.waiters.append(fut)
         try:
@@ -269,17 +333,34 @@ class Engine:
         except asyncio.CancelledError:
             return st.last_output
 
-    def _fit_frame(self, frame: np.ndarray) -> np.ndarray:
-        """Mailboxes are fixed-size; pad/crop the camera frame to the
-        mailbox shape (on-device crop handles aspect-ratio correctness)."""
+    def _fit_frame(self, frame: np.ndarray) -> tuple[np.ndarray, tuple[int, int]]:
+        """Mailboxes are fixed-size; place the camera frame top-left and
+        return (mailbox_frame, true_extent).  The true extent rides to the
+        device as a traced source box, so the on-device center-crop sees
+        the REAL camera geometry (reference crops at full camera
+        resolution, videopipeline.py:91-107).  Frames LARGER than the
+        mailbox (out-of-contract: the client negotiates <= 768) are
+        host-center-cropped — centered, never top-left."""
         h, w = self.frame_hw
         fh, fw = frame.shape[:2]
         if (fh, fw) == (h, w):
-            return frame
-        out = np.zeros((h, w, 3), np.uint8)
+            return frame, (fh, fw)
         ch, cw = min(h, fh), min(w, fw)
-        out[:ch, :cw] = frame[:ch, :cw, :3]
-        return out
+        y0, x0 = (fh - ch) // 2, (fw - cw) // 2
+        out = np.zeros((h, w, 3), np.uint8)
+        out[:ch, :cw] = frame[y0 : y0 + ch, x0 : x0 + cw, :3]
+        return out, (ch, cw)
+
+    def _src_box(self, in_hw, out_h: int, out_w: int) -> tuple[int, int, int, int]:
+        """(top, left, height, width) center-crop of the true camera
+        extent matching the target aspect ratio — host-computed with the
+        SAME geometry function as the static path (ops.center_crop_box),
+        handed to the program as traced data."""
+        from videosd_tpu.ops import center_crop_box
+
+        ih, iw = in_hw or self.frame_hw
+        left, top, right, bottom = center_crop_box(iw, ih, out_w, out_h)
+        return (top, left, bottom - top, right - left)
 
     # ------------------------------------------------------------ programs
 
@@ -297,6 +378,10 @@ class Engine:
                 from videosd_tpu.pipelines.lcm_img2img import build_frame_program
 
                 prog = build_frame_program(self.bundle, spec)
+            if self.mesh is not None:
+                from videosd_tpu.parallel.serving import shard_program
+
+                prog = shard_program(prog, self.mesh)
             self._programs[key] = prog
         return prog
 
@@ -332,7 +417,9 @@ class Engine:
                 continue
             args, kwargs = shapes
             try:
-                txt = prog.lower(*args, **kwargs).compile().as_text()
+                # sharded wrappers carry the underlying jit fn as ._base
+                base = getattr(prog, "_base", prog)
+                txt = base.lower(*args, **kwargs).compile().as_text()
             except Exception:  # pragma: no cover - backend-specific
                 continue
             parse_hlo_symbols(txt, symbols)
@@ -353,7 +440,7 @@ class Engine:
             if self._encoder is None:
                 self._encoder = build_prompt_encoder(self.bundle)
             ids = jnp.asarray(self.bundle.tokenizer([prompt]), jnp.int32)
-            cached = self._encoder(self.bundle.params, ids)
+            cached = self._encoder(self.params, ids)
             while len(self._prompt_cache) >= self._prompt_cache_max:
                 self._prompt_cache.popitem(last=False)  # LRU-evict oldest
             self._prompt_cache[prompt] = cached
@@ -410,15 +497,16 @@ class Engine:
 
     def warmup(self, batch_sizes=(1,), steps=(4,), height=512, width=512):
         """Ahead-of-time compile the hot buckets (SURVEY.md §7 "hard parts":
-        compile stalls kill p50)."""
+        compile stalls kill p50).  batch_sizes are per-data-shard: the
+        compiled batch is b * data_axis so sharded rows stay even."""
         from videosd_tpu.pipelines.lcm_img2img import FrameSpec
 
         ih, iw = self.frame_hw
         for b in batch_sizes:
             for s in steps:
                 spec = FrameSpec(
-                    batch=b, height=height, width=width, in_height=ih, in_width=iw,
-                    steps=s,
+                    batch=b * self.data_axis, height=height, width=width,
+                    in_height=ih, in_width=iw, steps=s,
                 )
                 self._warm_spec(spec, ref_mode=False)
 
@@ -435,11 +523,19 @@ class Engine:
             (spec.batch, spec.height // 8, spec.width // 8, 4), np.float32
         )
         warm_alpha = np.zeros((spec.batch,), np.float32)
+        box = np.tile(
+            np.asarray(
+                self._src_box(None, spec.height, spec.width), np.int32
+            ),
+            (spec.batch, 1),
+        )
         self._run_bucket_sync(
             spec, ref_mode, frames, frames, embeds, strength, guidance, cn, seed,
             None if ref_mode else warm_lat,
             None if ref_mode else warm_alpha,
             pooled,
+            box,
+            box if ref_mode else None,
         )
 
     def _nearest_ready_spec(self, spec, ref_mode: bool):
@@ -538,6 +634,8 @@ class Engine:
         warm_latents=None,
         warm_alpha=None,
         pooled_embeds=None,
+        src_box=None,
+        ref_box=None,
     ):
         """Enqueue one batch on the device (JAX async dispatch — returns
         device arrays immediately without waiting for results).
@@ -575,13 +673,16 @@ class Engine:
             kwargs = {}
             if pooled_embeds is not None:
                 kwargs["pooled_embeds"] = pooled_embeds
+            if src_box is not None:
+                kwargs["src_box"] = src_box
+                kwargs["ref_box"] = ref_box
             args = (
-                self.bundle.params, frames, ref_frames, embeds,
+                self.params, frames, ref_frames, embeds,
                 strength, guidance, scale, seed,
             )
             self._capture_shapes(key, args, kwargs)
             out, latents = prog(
-                self.bundle.params,
+                self.params,
                 frames,
                 ref_frames,
                 embeds,
@@ -597,12 +698,14 @@ class Engine:
                 kwargs = {"warm_latents": warm_latents, "warm_alpha": warm_alpha}
             if pooled_embeds is not None:
                 kwargs["pooled_embeds"] = pooled_embeds
+            if src_box is not None:
+                kwargs["src_box"] = src_box
             args = (
-                self.bundle.params, frames, embeds, strength, guidance, scale, seed,
+                self.params, frames, embeds, strength, guidance, scale, seed,
             )
             self._capture_shapes(key, args, kwargs)
             out, latents = prog(
-                self.bundle.params, frames, embeds, strength, guidance, scale, seed,
+                self.params, frames, embeds, strength, guidance, scale, seed,
                 **kwargs,
             )
         return key, out, latents
@@ -644,12 +747,15 @@ class Engine:
             key=lambda b: (abs(b[0] * b[1] - h * w), abs(b[0] - h) + abs(b[1] - w)),
         )
 
-    @staticmethod
-    def _bucket_batch(n: int, buckets=(1, 2, 4, 8, 16)) -> int:
+    def _bucket_batch(self, n: int, buckets=(1, 2, 4, 8, 16)) -> int:
+        """Smallest batch bucket holding n frames.  Under a mesh, buckets
+        are multiples of the data-axis size so every chip gets equal rows
+        (padding rows are discarded on scatter)."""
+        d = self.data_axis
         for b in buckets:
-            if n <= b:
-                return b
-        return buckets[-1]
+            if n <= b * d:
+                return b * d
+        return buckets[-1] * d
 
     def _collect_ready(self):
         """Pull the freshest frame of every stream with pending work."""
@@ -837,6 +943,11 @@ class Engine:
         guidance = np.full((b,), 5.0, np.float32)
         scale = np.full((b,), 2.0, np.float32)  # cn scale OR fidelity
         seed = np.zeros((b,), np.int32)
+        # per-element source rectangles: true camera extent -> on-device
+        # center-crop parity with the reference at ANY negotiated size
+        full_box = self._src_box(None, spec.height, spec.width)
+        src_box = np.tile(np.asarray(full_box, np.int32), (b, 1))
+        ref_box = np.tile(np.asarray(full_box, np.int32), (b, 1))
         # derive from the (possibly substituted) spec, not the request key
         lat_shape = (spec.height // 8, spec.width // 8, 4)
         warm_alpha = np.zeros((b,), np.float32)
@@ -845,8 +956,14 @@ class Engine:
         for i, (st, buf, ts) in enumerate(items):
             frames[i] = buf
             st.last_input = buf
+            if st.in_hw is not None:
+                src_box[i] = self._src_box(st.in_hw, spec.height, spec.width)
             if ref_mode and st.ref_frame is not None:
-                ref_frames[i] = self._fit_frame(st.ref_frame)
+                fitted, ext = self._fit_frame(st.ref_frame)
+                ref_frames[i] = fitted
+                ref_box[i] = self._src_box(
+                    st.ref_hw or ext, spec.height, spec.width
+                )
             strength[i] = float(st.options["strength"])
             guidance[i] = float(st.options["guidance_scale"])
             scale[i] = float(
@@ -895,6 +1012,8 @@ class Engine:
                 None if ref_mode else warm_lat,
                 None if ref_mode else warm_alpha,
                 pooled,
+                src_box,
+                ref_box if ref_mode else None,
             )
             import functools
 
@@ -943,6 +1062,7 @@ class Engine:
             # frame becomes the new reference (server.py:115-116)
             if st.options.get("ref"):
                 st.ref_frame = out[i]
+                st.ref_hw = None  # extent derives from the output's shape
             while st.waiters:
                 wtr = st.waiters.pop(0)
                 if not wtr.done():
@@ -957,4 +1077,9 @@ class Engine:
         s["programs_compiled"] = len(self._programs)
         s["programs_compiling"] = len(self._compiling)
         s["dispatch_threads"] = dict(self._dispatch_threads)
+        s["devices"] = (
+            {"data": self.mesh.shape["data"], "model": self.mesh.shape["model"]}
+            if self.mesh is not None
+            else {"data": 1, "model": 1}
+        )
         return s

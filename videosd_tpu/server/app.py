@@ -374,7 +374,8 @@ async def _on_startup(app: web.Application):
         ih, iw = engine.frame_hw
         for b in batches[1:]:
             spec = FrameSpec(
-                batch=b, height=h, width=w, in_height=ih, in_width=iw, steps=4
+                batch=b * engine.data_axis, height=h, width=w,
+                in_height=ih, in_width=iw, steps=4,
             )
             engine._compile_spec_background(loop, spec, ref_mode=False)
     app["watchdog_task"] = asyncio.get_running_loop().create_task(watchdog(app))
