@@ -80,7 +80,8 @@ CLIP_PRESETS = {
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
-    return jax.nn.gelu
+    # transformers' "gelu" is the exact erf form (NewGELU would be "gelu_new")
+    return lambda x: jax.nn.gelu(x, approximate=False)
 
 
 def _layer_init(key, cfg: CLIPTextConfig) -> Params:

@@ -287,10 +287,16 @@ def geglu_init(key, dim: int, inner_dim: int) -> Params:
 
 
 def geglu(params: Params, x):
-    """GEGLU feed-forward (diffusers FeedForward default for SD UNets)."""
+    """GEGLU feed-forward (diffusers FeedForward default for SD UNets).
+
+    Exact (erf) gelu: torch F.gelu defaults to the erf form and that is
+    what diffusers' GEGLU runs — the tanh approximation deviates by up to
+    ~1e-3 per activation, which compounds across 16 transformer blocks
+    and breaks checkpoint-fidelity ("bit-comparable") claims.  The erf
+    form costs the same on the VPU."""
     h = linear(params["proj"], x)
     a, b = jnp.split(h, 2, axis=-1)
-    h = a * jax.nn.gelu(b.astype(jnp.float32)).astype(x.dtype)
+    h = a * jax.nn.gelu(b.astype(jnp.float32), approximate=False).astype(x.dtype)
     return linear(params["out"], h)
 
 
