@@ -33,3 +33,23 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# compile-heavy modules get the `slow` marker so `pytest -m "not slow"`
+# gives a fast (<5 min) CI signal; the full suite stays the merge gate
+SLOW_MODULES = {
+    "test_golden",
+    "test_families",
+    "test_pipeline",
+    "test_multihost",
+    "test_reference_attn",
+    "test_parallel",
+    "test_server",
+    "test_from_pretrained",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -169,3 +169,32 @@ def test_tokenizer_fallback_stable():
     assert a.shape == (1, 77)
     assert a[0, 0] == tok.BOT
     assert (a[0] == tok.EOT).any()
+
+
+def test_safety_hook_seam(bundle, embeds, rng):
+    """The optional post-decode safety hook (reference seam:
+    lcm_controlnet.py:593-608) blacks out flagged rows inside the same
+    XLA program; default (no hook) output is untouched."""
+    import dataclasses
+
+    from videosd_tpu.pipelines.safety import make_blackout_hook
+
+    frame = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8))
+
+    # flag row 1 only (a stand-in classifier; production supplies a real
+    # safety head through the same seam)
+    def classify(img01):
+        return jnp.asarray([False, True])
+
+    guarded = dataclasses.replace(
+        bundle, safety_hook=make_blackout_hook(classify)
+    )
+    spec2 = dataclasses.replace(SPEC, batch=2)
+    prog_g = build_frame_program(guarded, spec2)
+    prog_p = build_frame_program(bundle, spec2)
+    opts = _opts(b=2)
+    out_g, _ = prog_g(bundle.params, frame, jnp.concatenate([embeds] * 2), *opts)
+    out_p, _ = prog_p(bundle.params, frame, jnp.concatenate([embeds] * 2), *opts)
+    np.testing.assert_array_equal(np.asarray(out_g[0]), np.asarray(out_p[0]))
+    assert int(np.asarray(out_g[1]).sum()) == 0  # flagged row is black
+    assert int(np.asarray(out_p[1]).sum()) > 0

@@ -113,6 +113,12 @@ class ModelBundle:
     vae_cfg: VAEConfig = dataclasses.field(default_factory=VAEConfig)
     clip2_cfg: Any = None  # second text tower (SDXL family)
     dtype: Any = jnp.bfloat16
+    # optional post-decode safety hook (the reference pipeline's optional
+    # safety_checker seam, lcm_controlnet.py:593-608): a jittable
+    # images_pm1 [B,H,W,3] -> images_pm1 callable applied between VAE
+    # decode and postprocess.  None = off, matching the reference's
+    # TAESD deployment (checker disabled in practice).
+    safety_hook: Any = None
 
     _random_cache: typing.ClassVar[dict] = {}
 
@@ -291,6 +297,7 @@ def frame_program(
     warm_alpha=None,
     pooled_embeds=None,
     src_box=None,
+    safety_hook=None,
 ):
     """The pure frame function (jit via :func:`build_frame_program`).
 
@@ -448,6 +455,12 @@ def frame_program(
 
     with jax.named_scope("vae_decode"):
         out = _decode_latents(cfgs, params, spec, denoised)
+    if safety_hook is not None:
+        # reference seam: safety checker between decode and postprocess
+        # (lcm_controlnet.py:593-608); the hook typically classifies and
+        # zeroes flagged rows inside the same XLA program
+        with jax.named_scope("safety"):
+            out = safety_hook(out)
     with jax.named_scope("postprocess"):
         return postprocess_image(out), denoised
 
@@ -468,6 +481,7 @@ def build_frame_program(bundle: ModelBundle, spec: FrameSpec):
         taesd_cfg=bundle.taesd_cfg,
         vae_cfg=bundle.vae_cfg,
         dtype=bundle.dtype,
+        safety_hook=bundle.safety_hook,
     )
 
     def wrapper(

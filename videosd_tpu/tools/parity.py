@@ -8,17 +8,41 @@ and the `diffusers` package — neither exists in the zero-egress build
 image, so CI covers the per-layer torch parity tier
 (tests/test_torch_parity.py) and this tool is the field procedure.
 
-Usage:
-  python -m videosd_tpu.tools.parity --weights /path/to/snapshot \
-      --controlnet /path/to/controlnet [--image in.png]
+Usage (one command in the field — snapshots auto-discover from the
+mounted HF cache, the same layout the reference's compose file mounts at
+~/.cache/huggingface, docker-compose.yml:8):
+  python -m videosd_tpu.tools.parity [--weights /path] [--controlnet /path]
+
+tests/test_field_parity.py runs this automatically whenever diffusers AND
+a cached snapshot are present, so the composed-fidelity gate closes by
+itself on any host that has the weights.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+DEFAULT_MODEL = "SimianLuo/LCM_Dreamshaper_v7"  # videopipeline.py:57
+DEFAULT_CONTROLNET = "lllyasviel/control_v11p_sd15_canny"  # videopipeline.py:51
+
+
+def find_snapshot(repo_id: str, cache: str | None = None) -> str | None:
+    """Newest local HF-hub snapshot dir for repo_id, or None."""
+    cache = cache or os.environ.get(
+        "HF_HUB_CACHE", os.path.expanduser("~/.cache/huggingface/hub")
+    )
+    d = os.path.join(cache, "models--" + repo_id.replace("/", "--"), "snapshots")
+    if os.path.isdir(d):
+        snaps = sorted(
+            os.listdir(d), key=lambda s: os.path.getmtime(os.path.join(d, s))
+        )
+        if snaps:
+            return os.path.join(d, snaps[-1])
+    return None
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -30,8 +54,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--weights", required=True)
-    p.add_argument("--controlnet")
+    p.add_argument("--weights", default=None, help="snapshot dir (default: auto-discover from the HF cache)")
+    p.add_argument("--controlnet", default=None)
     p.add_argument("--image")
     p.add_argument("--prompt", default="portrait, pixar, cg")
     p.add_argument("--steps", type=int, default=4)
@@ -44,12 +68,27 @@ def main(argv=None):
         import diffusers  # noqa: F401
     except ImportError:
         print(
-            "diffusers is not installed; per-layer parity is covered by "
-            "tests/test_torch_parity.py. Install diffusers to run the "
-            "end-to-end comparison.",
+            "diffusers is not installed; composed parity is covered by "
+            "tests/test_torch_parity_composed.py. Install diffusers to run "
+            "the end-to-end checkpoint comparison.",
             file=sys.stderr,
         )
         return 2
+
+    if args.weights is None:
+        args.weights = find_snapshot(DEFAULT_MODEL)
+        if args.weights is None:
+            print(
+                f"no --weights given and no cached snapshot of {DEFAULT_MODEL} "
+                "found (mount ~/.cache/huggingface like the compose file does)",
+                file=sys.stderr,
+            )
+            return 2
+        print(f"auto-discovered weights: {args.weights}", file=sys.stderr)
+    if args.controlnet is None:
+        args.controlnet = find_snapshot(DEFAULT_CONTROLNET)
+        if args.controlnet:
+            print(f"auto-discovered controlnet: {args.controlnet}", file=sys.stderr)
 
     import jax.numpy as jnp
     import torch
