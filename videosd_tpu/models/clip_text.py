@@ -80,8 +80,10 @@ CLIP_PRESETS = {
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
-    # transformers' "gelu" is the exact erf form (NewGELU would be "gelu_new")
-    return lambda x: jax.nn.gelu(x, approximate=False)
+    # transformers' "gelu" is the exact erf form (NewGELU would be
+    # "gelu_new"); in bf16 the tanh form is sub-ULP-identical and faster
+    # (see layers.geglu)
+    return lambda x: jax.nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
 
 
 def _layer_init(key, cfg: CLIPTextConfig) -> Params:
