@@ -160,6 +160,12 @@ class ServerConfig:
     batch_buckets: tuple = (1, 2, 4, 8)
     # micro-batcher deadline (ms) before a partial batch is cut
     batch_deadline_ms: float = 10.0
+    # extended fill window (ms): when MORE recently-active streams exist
+    # than frames collected, the cut waits up to this long for them — a
+    # synchronous client's next frame lands within its decode time, and
+    # coalescing it doubles aggregate throughput at these service times.
+    # Streams idle >1 s never extend the wait.
+    batch_fill_ms: float = 50.0
     # weight source: HF-style local cache dir or "random" (tests/bench)
     weights: str = "auto"
 

@@ -56,6 +56,8 @@ class StreamState:
         # true extent of ref_frame when it came from a camera frame that
         # already fills the mailbox; None = derive from ref_frame.shape
         self.ref_hw: tuple[int, int] | None = None
+        self.last_submit: float = 0.0  # monotonic ts of the latest frame
+        self.last_reply: float = 0.0  # monotonic ts of the latest resolve
         self.waiters: list[asyncio.Future] = []
         self.active = True
         # prompt-interpolation state: crossfade in embedding space when the
@@ -313,6 +315,7 @@ class Engine:
         — output-fps == input-fps decoupling, server.py:140-143)."""
         st = self.streams[sid]
         self.telemetry.frames_in += 1
+        st.last_submit = time.monotonic()
         frame, st.in_hw = self._fit_frame(frame)
         sim_thresh = float(st.options.get("similarity_threshold", 0.0) or 0.0)
         if st.last_output is not None and st.similar_to_last(frame, sim_thresh):
@@ -790,6 +793,7 @@ class Engine:
                         w = st.waiters.pop(0)
                         if not w.done():
                             w.set_result(st.last_output)
+                            st.last_reply = time.monotonic()
                             self.telemetry.frames_dropped += 1
                 try:
                     await asyncio.wait_for(self._wake.wait(), timeout=0.05)
@@ -797,11 +801,67 @@ class Engine:
                     pass
                 continue
 
-            # deadline-based extra collection for better batch fill
-            deadline = time.perf_counter() + self.deadline_s
-            while (
-                len(ready) < self.max_batch and time.perf_counter() < deadline
-            ):
+            # batch-cut policy.  The naive fixed deadline (10 ms) splits
+            # synchronous clients into partial batches whose service
+            # phases then drift apart permanently — measured 7 vs 16
+            # aggregate FPS at 4 sync streams.  Rules, re-evaluated every
+            # tick:
+            # * all recently-active streams in hand + a pipeline slot
+            #   free -> cut NOW (single streams never wait the deadline),
+            # * device idle + base deadline passed -> cut (a partial
+            #   batch beats an idle chip),
+            # * device BUSY -> hold: arrivals accumulate for free while
+            #   the in-flight batch runs, so split phases re-merge within
+            #   one service cycle.  Bounded by ~2x the generation EMA so
+            #   a lone fast stream can't be starved by stale peers.
+            t0 = time.perf_counter()
+            fill_deadline = t0 + max(
+                self.deadline_s, self.config.batch_fill_ms / 1e3
+            )
+            ema = self.queue.stats().get("ema_gen_time", 0.4)
+            hard_cap = t0 + min(2.0, max(self.config.batch_fill_ms / 1e3, 2 * ema))
+            prev_busy = bool(self._inflight)
+            while len(ready) < self.max_batch:
+                busy = bool(self._inflight)
+                if prev_busy and not busy:
+                    # an in-flight batch just drained: its replies trigger
+                    # resubmits that can join this batch — restart the
+                    # fill window instead of cutting into the drain race
+                    fill_deadline = time.perf_counter() + (
+                        self.config.batch_fill_ms / 1e3
+                    )
+                prev_busy = busy
+                now_m = time.monotonic()
+                # expected cohort: recently-submitting streams PLUS any
+                # stream still awaiting a reply — its client will resubmit
+                # as soon as the in-flight batch resolves, so a cut that
+                # doesn't wait for it locks the cohort into split phases
+                # (a pure recency horizon fails exactly when service time
+                # approaches it: reproduced at 0.9 s service -> stable
+                # 2+2 split, aggregate 2.2 vs 3.9 frames/s per 4 clients)
+                recent = sum(
+                    1
+                    for st in self.streams.values()
+                    if st.active
+                    and (
+                        st.waiters  # awaiting a reply -> will resubmit
+                        or now_m - st.last_reply < 0.25  # reply just went
+                        # out; the client's resubmit is in flight
+                        or now_m - st.last_submit < 1.0
+                    )
+                )
+                target = min(self.max_batch, max(len(ready), recent))
+                now = time.perf_counter()
+                if len(ready) >= target and len(self._inflight) < 2:
+                    break  # everyone expected is in hand: cut NOW
+                if not self._inflight and now >= fill_deadline:
+                    # device idle and the cohort window has passed: a
+                    # partial batch beats waiting (the fill window covers
+                    # the cohort's resubmit spread — cutting at a shorter
+                    # base deadline re-splits phases every cycle)
+                    break
+                if now >= hard_cap:
+                    break
                 await asyncio.sleep(0.001)
                 ready.extend(self._collect_ready())
 
@@ -906,6 +966,7 @@ class Engine:
                             wtr = st.waiters.pop(0)
                             if not wtr.done():
                                 wtr.set_result(st.last_output)
+                                st.last_reply = time.monotonic()
                                 self.telemetry.frames_dropped += 1
                     return
         t_pack = time.perf_counter()
@@ -936,6 +997,7 @@ class Engine:
                     wtr = st.waiters.pop(0)
                     if not wtr.done():
                         wtr.set_result(st.last_output)
+                        st.last_reply = time.monotonic()
             return
         frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
@@ -1047,6 +1109,7 @@ class Engine:
                     wtr = st.waiters.pop(0)
                     if not wtr.done():
                         wtr.set_result(st.last_output)
+                        st.last_reply = time.monotonic()
             return
         dt = time.perf_counter() - t0
         self.telemetry.stages.record("device", dt)
@@ -1067,6 +1130,7 @@ class Engine:
                 wtr = st.waiters.pop(0)
                 if not wtr.done():
                     wtr.set_result(out[i])
+                    st.last_reply = time.monotonic()
 
     # ------------------------------------------------------------ stats
 
