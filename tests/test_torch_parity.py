@@ -133,6 +133,32 @@ def test_fused_qkv_attention_matches_separate(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
+def test_precat_qkv_weights_match_separate(rng):
+    """precat_attention_weights' fused wqkv/wkv kernels produce the same
+    attention output as the per-projection path (and as the in-graph
+    concat fallback)."""
+    from videosd_tpu.models.unet import (
+        UNET_PRESETS,
+        cross_attn_apply,
+        precat_attention_weights,
+        transformer_block_init,
+    )
+
+    blk = transformer_block_init(jax.random.PRNGKey(0), UNET_PRESETS["tiny"], 16)
+    tree = precat_attention_weights({"attn1": blk["attn1"], "attn2": blk["attn2"]})
+    assert "wqkv" in tree["attn1"] and "wkv" in tree["attn2"]
+    x = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 5, 32)), jnp.float32)
+    # self-attn: precat vs in-graph concat
+    got = cross_attn_apply(tree["attn1"], x, x, num_heads=2, impl="xla")
+    want = cross_attn_apply(blk["attn1"], x, x, num_heads=2, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    # cross-attn: precat vs in-graph concat
+    got = cross_attn_apply(tree["attn2"], x, ctx, num_heads=2, impl="xla")
+    want = cross_attn_apply(blk["attn2"], x, ctx, num_heads=2, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
 def test_silu_geglu_match_torch(rng):
     x = rng.standard_normal((2, 5, 8)).astype(np.float32)
     np.testing.assert_allclose(

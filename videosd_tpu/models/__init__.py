@@ -6,7 +6,13 @@ from videosd_tpu.models.clip_text import (
 )
 from videosd_tpu.models.controlnet import controlnet_apply, controlnet_init
 from videosd_tpu.models.taesd import TAESDConfig, taesd_decode, taesd_encode, taesd_init
-from videosd_tpu.models.unet import UNET_PRESETS, UNetConfig, unet_apply, unet_init
+from videosd_tpu.models.unet import (
+    UNET_PRESETS,
+    UNetConfig,
+    precat_attention_weights,
+    unet_apply,
+    unet_init,
+)
 from videosd_tpu.models.vae import VAEConfig, vae_decode, vae_encode, vae_init
 
 __all__ = [

@@ -39,7 +39,14 @@ from videosd_tpu.models.layers import (
     upsample_nearest2d,
 )
 
-__all__ = ["UNetConfig", "unet_init", "unet_apply", "UNET_PRESETS", "BankReader"]
+__all__ = [
+    "UNetConfig",
+    "unet_init",
+    "unet_apply",
+    "UNET_PRESETS",
+    "BankReader",
+    "precat_attention_weights",
+]
 
 
 class BankReader:
@@ -208,25 +215,74 @@ def cross_attn_init(key, query_dim: int, context_dim: int, inner_dim: int) -> Pa
 
 def cross_attn_apply(p: Params, x, context, *, num_heads: int, impl: str = "auto"):
     if context is x:
-        # self-attention: fuse Q/K/V into ONE GEMM (weights are concatenated
-        # inside the graph — a constant-size copy XLA hoists — so the MXU
-        # sees one [S,C]x[C,3C] matmul instead of three skinny ones)
-        wqkv = jnp.concatenate(
-            [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]], axis=1
+        # self-attention: fuse Q/K/V into ONE GEMM so the MXU sees one
+        # [S,C]x[C,3C] matmul instead of three skinny ones.  A
+        # pre-concatenated "wqkv" param (precat_attention_weights) skips
+        # the per-call in-graph weight concat/slice copies.
+        wqkv = p.get("wqkv")
+        if wqkv is None:
+            wqkv = jnp.concatenate(
+                [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]],
+                axis=1,
+            )
+        qkv = jnp.dot(
+            x, wqkv.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
-        qkv = jnp.dot(x, wqkv, preferred_element_type=jnp.float32).astype(x.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
         q = linear(p["to_q"], x)
-        wkv = jnp.concatenate(
-            [p["to_k"]["kernel"], p["to_v"]["kernel"]], axis=1
+        wkv = p.get("wkv")
+        if wkv is None:
+            wkv = jnp.concatenate(
+                [p["to_k"]["kernel"], p["to_v"]["kernel"]], axis=1
+            )
+        kv = jnp.dot(
+            context, wkv.astype(context.dtype), preferred_element_type=jnp.float32
         ).astype(context.dtype)
-        kv = jnp.dot(context, wkv, preferred_element_type=jnp.float32).astype(
-            context.dtype
-        )
         k, v = jnp.split(kv, 2, axis=-1)
     out = attention(q, k, v, num_heads=num_heads, impl=impl)
     return linear(p["to_out"], out)
+
+
+def precat_attention_weights(params: Params) -> Params:
+    """Add pre-concatenated "wqkv"/"wkv" kernels beside every attn1/attn2
+    param dict (returns a new tree sharing all original leaves).
+
+    The per-call in-graph concatenation of to_q/to_k/to_v kernels showed
+    up in the flagship profile as part of the ~2 ms/frame copy/slice tail
+    (PERF.md by-block profile); storing the fused weights once removes
+    those copies from every attention call.  Originals are KEPT so
+    conversion-plan export and torch parity are untouched; derived
+    entries cost ~1/3 extra memory on attention weights only.
+    """
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items()}
+            for name in ("attn1", "attn2"):
+                a = out.get(name)
+                if isinstance(a, dict) and "to_q" in a and "wqkv" not in a:
+                    a = dict(a)
+                    if name == "attn1":
+                        a["wqkv"] = jnp.concatenate(
+                            [
+                                a["to_q"]["kernel"],
+                                a["to_k"]["kernel"],
+                                a["to_v"]["kernel"],
+                            ],
+                            axis=1,
+                        )
+                    else:
+                        a["wkv"] = jnp.concatenate(
+                            [a["to_k"]["kernel"], a["to_v"]["kernel"]], axis=1
+                        )
+                    out[name] = a
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
 
 
 def transformer_block_init(key, cfg: UNetConfig, dim: int) -> Params:

@@ -83,6 +83,10 @@ def make_mesh(
 # the Megatron layout expressed as shardings, XLA inserts the collectives.
 PARAM_RULES: list[tuple[str, P]] = [
     (r"(to_q|to_k|to_v|q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
+    # pre-concatenated QKV/KV weights (unet.precat_attention_weights):
+    # column-parallel like their components — GSPMD handles the traced
+    # split on the sharded concat dim
+    (r"(wqkv|wkv)$", P(None, "model")),
     (r"(to_out|out_proj)/kernel$", P("model", None)),
     (r"ff/proj/kernel$", P(None, "model")),
     (r"ff/out/kernel$", P("model", None)),
