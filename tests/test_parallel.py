@@ -191,6 +191,53 @@ def test_engine_serves_sharded_over_mesh(rng):
     asyncio.run(run())
 
 
+def test_engine_mesh_serves_ref_mode(rng):
+    """Reference-attention streams also run sharded: the ref program gets
+    the same data-axis placement wrap as the plain program."""
+    import asyncio
+
+    from videosd_tpu.config import ServerConfig
+    from videosd_tpu.runtime.engine import Engine
+
+    async def run():
+        bundle = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=False)
+        eng = Engine(
+            ServerConfig(gpus=8),
+            bundle=bundle,
+            max_streams=2,
+            max_batch=8,
+            deadline_ms=5,
+            frame_hw=(32, 32),
+        )
+        eng.start()
+        try:
+            st = eng.open_stream(
+                {"height": 32, "width": 32, "steps": 1, "ref": True}
+            )
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            loop = asyncio.get_running_loop()
+            t0 = loop.time()
+            out = None
+            while loop.time() - t0 < 300:
+                before = eng.telemetry.frames_out
+                out = await asyncio.wait_for(
+                    eng.submit_frame(st.stream_id, frame), 300
+                )
+                if eng.telemetry.frames_out > before:
+                    break
+                await asyncio.sleep(0.2)
+            assert eng.telemetry.frames_out >= 1
+            assert out.shape == (32, 32, 3) and int(out.sum()) > 0
+            assert any(rm for s, rm in eng._ready_specs)
+            assert all(
+                s.batch % eng.data_axis == 0 for s, _rm in eng._ready_specs
+            )
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
+
+
 def test_engine_mesh_falls_back_when_devices_missing(caplog):
     """gpus > available devices must degrade loudly, not silently serve on
     one chip (VERDICT r1 weak #5: dead config keys)."""
