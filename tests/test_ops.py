@@ -176,6 +176,71 @@ def test_crop_resize_exact_when_box_matches_output():
     )
 
 
+def test_crop_resize_upscale_borders_clamp_to_box():
+    """Upscaling a small camera box must NOT bleed mailbox zero-padding
+    (black) into the borders: samples are edge-clamped to the box, so a
+    uniform source stays uniform (the bilinear first cut blended ~25%
+    black into the last row/col — caught in review, pinned here)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videosd_tpu.ops import crop_resize
+
+    mailbox = np.zeros((1, 64, 64, 3), np.uint8)
+    mailbox[0, :24, :32] = 200  # 24x32 camera frame, uniform
+    box = jnp.asarray([[0, 0, 24, 32]], jnp.int32)
+    out = np.asarray(crop_resize(jnp.asarray(mailbox), box, 48, 64))
+    np.testing.assert_allclose(out, 200.0 / 255.0, atol=2e-3)
+
+    # gradient content: first output row equals the first source row
+    grad = np.zeros((1, 64, 64, 3), np.uint8)
+    grad[0, :4, :8] = np.arange(4, dtype=np.uint8)[None, :, None, None] * 60
+    out = np.asarray(
+        crop_resize(jnp.asarray(grad), jnp.asarray([[0, 0, 4, 8]], jnp.int32), 8, 8)
+    )
+    assert abs(float(out[0, 0, 0, 0]) - 0.0) < 2e-2  # row0 ~= source row0
+    assert abs(float(out[0, 7, 0, 0]) - 180.0 / 255.0) < 2e-2
+
+
+def test_crop_resize_downscale_matches_static_lanczos():
+    """A full-frame box downscale must track the static path's
+    jax.image.resize lanczos3 (reference: PIL LANCZOS,
+    videopipeline.py:107) — the traced path may not silently swap the
+    resampling filter."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videosd_tpu.ops import crop_resize, preprocess_frame
+
+    rng = np.random.default_rng(3)
+    # smooth-ish content (noise through a box blur) at 48x48 -> 32x32
+    raw = rng.integers(0, 256, (1, 48, 48, 3)).astype(np.float32)
+    k = np.ones((5, 5)) / 25.0
+    sm = np.stack(
+        [
+            np.stack(
+                [
+                    np.real(
+                        np.fft.ifft2(
+                            np.fft.fft2(raw[0, :, :, c])
+                            * np.fft.fft2(k, s=(48, 48))
+                        )
+                    )
+                    for c in range(3)
+                ],
+                axis=-1,
+            )
+        ]
+    )
+    frame = np.clip(sm, 0, 255).astype(np.uint8)
+    want = np.asarray(preprocess_frame(jnp.asarray(frame), 32, 32))
+    box = jnp.asarray([[0, 0, 48, 48]], jnp.int32)
+    got = np.asarray(crop_resize(jnp.asarray(frame), box, 32, 32))
+    # same kernel family; tolerate border-handling differences
+    assert np.abs(got - want).mean() < 3e-3
+    assert np.abs(got[:, 2:-2, 2:-2] - want[:, 2:-2, 2:-2]).max() < 3e-2
+
+
 def test_crop_resize_center_crops_true_camera_extent():
     """The VERDICT regression case: a 768x576 camera frame in a 768x768
     mailbox must center-crop the middle 576 columns (the old top-left

@@ -57,19 +57,11 @@ def load_bundle_params(bundle, ckpt_dir: str, dtype=None) -> dict:
     """Load params for every model present in the checkpoint dir; models
     absent from the checkpoint keep the bundle's current params."""
     dtype = dtype or bundle.dtype
-    from videosd_tpu.models import precat_attention_weights
-
     with open(os.path.join(ckpt_dir, "bundle.json")) as f:
         meta = json.load(f)
     params = dict(bundle.params)
     for name in meta["models"]:
         plan = _PLANS[name](bundle)
         sd = read_safetensors(os.path.join(ckpt_dir, f"{name}.safetensors"))
-        loaded = convert(sd, plan, dtype=jnp.dtype(dtype))
-        if name in ("unet", "controlnet"):
-            # re-derive the fused QKV/KV kernels (plan-external, see
-            # unet.precat_attention_weights) so a restored bundle serves
-            # with the same fused-GEMM programs as a fresh one
-            loaded = precat_attention_weights(loaded)
-        params[name] = loaded
+        params[name] = convert(sd, plan, dtype=jnp.dtype(dtype))
     return params

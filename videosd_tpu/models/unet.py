@@ -248,12 +248,14 @@ def precat_attention_weights(params: Params) -> Params:
     """Add pre-concatenated "wqkv"/"wkv" kernels beside every attn1/attn2
     param dict (returns a new tree sharing all original leaves).
 
-    The per-call in-graph concatenation of to_q/to_k/to_v kernels showed
-    up in the flagship profile as part of the ~2 ms/frame copy/slice tail
-    (PERF.md by-block profile); storing the fused weights once removes
-    those copies from every attention call.  Originals are KEPT so
-    conversion-plan export and torch parity are untouched; derived
-    entries cost ~1/3 extra memory on attention weights only.
+    NOT applied by default: the fused variant measured NEUTRAL on the
+    flagship (PERF.md round-2 closed investigations — XLA already hoists
+    the in-graph concats), the derived entries fully duplicate the
+    projections they fuse (HBM cost), and differentiating through a
+    fused tree trains only wqkv while plan export writes the stale
+    originals.  Kept as an opt-in transform for setups where the
+    in-graph concat does show up (originals are retained, so export and
+    torch parity stay untouched).
     """
 
     def walk(node):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "center_crop_box",
@@ -47,6 +48,53 @@ def center_crop_box(in_w: int, in_h: int, out_w: int, out_h: int):
     return int(left), int(top), int(right), int(bottom)
 
 
+def _lanczos3_kernel(x):
+    """Lanczos-3 kernel, exact 1 at x=0 and 0 at nonzero integers (so an
+    identity-scale resample is a bit-exact crop)."""
+    ax = jnp.abs(x)
+    pix = jnp.pi * x
+    safe = jnp.where(ax < 1e-6, 1.0, pix)
+    val = jnp.where(
+        ax < 1e-6,
+        1.0,
+        (jnp.sin(safe) / safe) * (jnp.sin(safe / 3.0) / (safe / 3.0)),
+    )
+    return jnp.where(ax < 3.0, val, 0.0)
+
+
+def _resample_axis(x, start, length, out_n: int, in_cap: int, axis: int):
+    """Separable traced-scale lanczos3 resample of ``x`` along ``axis``.
+
+    ``start``/``length`` (traced, integer-valued floats) bound the valid
+    source interval; samples never reach outside it (edge-clamped), so
+    mailbox zero-padding can NOT bleed into borders.  Tap count is a
+    STATIC budget from the worst downscale the mailbox geometry allows;
+    for downscales the kernel stretches by the scale factor (antialias),
+    matching jax.image.resize/PIL semantics.
+    """
+    scale = length / out_n
+    kscale = jnp.maximum(scale, 1.0)  # antialias stretch when downscaling
+    support = 3.0 * kscale
+    # static tap budget: worst case is the full mailbox extent mapped down
+    max_scale = max(1.0, in_cap / out_n)
+    taps = int(np.ceil(2.0 * 3.0 * max_scale)) + 2
+
+    centers = start + (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * scale - 0.5
+    lo = jnp.floor(centers - support) + 1.0
+    idx = lo[:, None] + jnp.arange(taps, dtype=jnp.float32)[None, :]
+    wts = _lanczos3_kernel((idx - centers[:, None]) / kscale)
+    wts = wts / jnp.sum(wts, axis=1, keepdims=True)
+    last = start + length - 1.0
+    idx_i = jnp.clip(idx, start, last).astype(jnp.int32)
+    idx_i = jnp.clip(idx_i, 0, in_cap - 1)
+    g = jnp.take(x, idx_i.reshape(-1), axis=axis)
+    if axis == 0:
+        g = g.reshape(out_n, taps, *x.shape[1:])
+        return jnp.einsum("ot...,ot->o...", g, wts)
+    g = g.reshape(x.shape[0], out_n, taps, *x.shape[2:])
+    return jnp.einsum("not...,ot->no...", g, wts)
+
+
 def crop_resize(
     frame_u8: jax.Array, box: jax.Array, out_h: int, out_w: int, dtype=jnp.float32
 ) -> jax.Array:
@@ -61,34 +109,22 @@ def crop_resize(
     exactly, while ONE compiled program serves every camera resolution
     that fits the mailbox — the rectangle is traced data, not a shape.
 
-    Separable bilinear resampling via two row/column ``jnp.take`` passes
-    (contiguous row gathers, VPU-friendly).  When the rectangle already
-    has the output size, the sample points land on exact integer indices
-    and the op degenerates to a bit-exact crop.
+    Separable LANCZOS-3 resampling (the reference resizes with PIL
+    LANCZOS, videopipeline.py:107; the static-shape path uses
+    jax.image.resize lanczos3) via per-axis ``jnp.take`` + weighted
+    reduction.  Samples are edge-clamped to the box, so mailbox padding
+    never bleeds into borders; when the rectangle already has the output
+    size every weight collapses onto the exact integer tap and the op
+    degenerates to a bit-exact crop.
     """
     _, H, W, _ = frame_u8.shape
 
     def one(frame, b):
         bf = b.astype(jnp.float32)
         top, left, h, w = bf[0], bf[1], bf[2], bf[3]
-        sy = h / out_h
-        sx = w / out_w
-        ys = top + (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
-        xs = left + (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
-        y0 = jnp.floor(ys)
-        x0 = jnp.floor(xs)
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-        y1i = jnp.clip(y0i + 1, 0, H - 1)
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-        x1i = jnp.clip(x0i + 1, 0, W - 1)
         f = frame.astype(jnp.float32)
-        wy = (ys - y0)[:, None, None]
-        rows = jnp.take(f, y0i, axis=0) * (1.0 - wy) + jnp.take(f, y1i, axis=0) * wy
-        wx = (xs - x0)[None, :, None]
-        out = (
-            jnp.take(rows, x0i, axis=1) * (1.0 - wx)
-            + jnp.take(rows, x1i, axis=1) * wx
-        )
+        rows = _resample_axis(f, top, h, out_h, H, axis=0)
+        out = _resample_axis(rows, left, w, out_w, W, axis=1)
         return out / 255.0
 
     out = jax.vmap(one)(frame_u8, box)

@@ -161,21 +161,23 @@ class ModelBundle:
         else:
             taesd_cfg = TAESDConfig()
             vae_cfg = VAEConfig()
-        from videosd_tpu.models import precat_attention_weights
-
         # jit each init: one compiled program per model instead of thousands
-        # of eager RNG dispatches (matters on remote-dispatch backends)
+        # of eager RNG dispatches (matters on remote-dispatch backends).
+        # NOTE: attention weights are NOT pre-concatenated here — the
+        # fused-wqkv variant (models.unet.precat_attention_weights)
+        # measured NEUTRAL on the flagship (PERF.md round-2 closed
+        # investigations) and duplicating the projections costs HBM and
+        # makes naive differentiation through bundle params train only
+        # the fused copies.
         jinit = lambda f, k: jax.jit(f)(k)  # noqa: E731
         params = {
-            "unet": precat_attention_weights(
-                jinit(lambda k: unet_init(k, unet_cfg, dtype=dtype), keys[0])
-            ),
+            "unet": jinit(lambda k: unet_init(k, unet_cfg, dtype=dtype), keys[0]),
             "clip": jinit(lambda k: clip_text_init(k, clip_cfg, dtype=dtype), keys[2]),
             "taesd": jinit(lambda k: taesd_init(k, taesd_cfg, dtype=dtype), keys[3]),
         }
         if with_controlnet:
-            params["controlnet"] = precat_attention_weights(
-                jinit(lambda k: controlnet_init(k, unet_cfg, dtype=dtype), keys[1])
+            params["controlnet"] = jinit(
+                lambda k: controlnet_init(k, unet_cfg, dtype=dtype), keys[1]
             )
         if with_kl_vae:
             params["vae"] = jinit(lambda k: vae_init(k, vae_cfg, dtype=dtype), keys[4])
@@ -223,13 +225,12 @@ class ModelBundle:
         hub download (zero-egress: the cache must be mounted).
         """
         from videosd_tpu.io import weights as W
-        from videosd_tpu.models import precat_attention_weights
 
         # copy the (possibly cached/shared) random bundle before mutating
         bundle = dataclasses.replace(cls.random(family, dtype=dtype, with_controlnet=False))
         params = dict(bundle.params)
-        params["unet"] = precat_attention_weights(
-            W.load_model_dir(model_dir, "unet", W.unet_plan(bundle.unet_cfg), dtype)
+        params["unet"] = W.load_model_dir(
+            model_dir, "unet", W.unet_plan(bundle.unet_cfg), dtype
         )
         params["clip"] = W.load_model_dir(
             model_dir, "text_encoder", W.clip_plan(bundle.clip_cfg), dtype
@@ -241,10 +242,8 @@ class ModelBundle:
         except (FileNotFoundError, KeyError):
             pass  # TAESD-only deployments (the reference swaps the VAE out)
         if controlnet_dir:
-            params["controlnet"] = precat_attention_weights(
-                W.load_model_dir(
-                    controlnet_dir, "", W.controlnet_plan(bundle.unet_cfg), dtype
-                )
+            params["controlnet"] = W.load_model_dir(
+                controlnet_dir, "", W.controlnet_plan(bundle.unet_cfg), dtype
             )
         if taesd_dir:
             params["taesd"] = W.load_model_dir(

@@ -315,12 +315,15 @@ class Engine:
         — output-fps == input-fps decoupling, server.py:140-143)."""
         st = self.streams[sid]
         self.telemetry.frames_in += 1
-        st.last_submit = time.monotonic()
         frame, st.in_hw = self._fit_frame(frame)
         sim_thresh = float(st.options.get("similarity_threshold", 0.0) or 0.0)
         if st.last_output is not None and st.similar_to_last(frame, sim_thresh):
             self.telemetry.frames_dropped += 1
             return st.last_output
+        # recency is stamped only when a frame actually enqueues: a
+        # similarity-skipped stream (static scene) must not count toward
+        # the batch-cut cohort — it will not deliver a frame
+        st.last_submit = time.monotonic()
         self.queue.put(sid, frame)
         self._wake.set()
         if st.last_output is None:
@@ -844,7 +847,12 @@ class Engine:
                     for st in self.streams.values()
                     if st.active
                     and (
-                        st.waiters  # awaiting a reply -> will resubmit
+                        # awaiting a reply -> will resubmit.  Done/
+                        # cancelled futures (a client's wait_for timed
+                        # out) must not count: they never resubmit, and
+                        # an inflated target would force every cut to
+                        # wait out the fill window engine-wide.
+                        any(not w.done() for w in st.waiters)
                         or now_m - st.last_reply < 0.25  # reply just went
                         # out; the client's resubmit is in flight
                         or now_m - st.last_submit < 1.0
@@ -979,15 +987,23 @@ class Engine:
         import functools as _ft
 
         try:
-            missing = {
-                str(st.options["prompt"])
-                for st, _buf, _ts in items
-                if str(st.options["prompt"]) not in self._prompt_cache
-            }
-            for pr in missing:
-                await self._get_dispatcher().run(
-                    loop, _ft.partial(self._encode_prompt, pr), lambda r: None
-                )
+            # loop until stable: update_options can mutate a prompt DURING
+            # the encode awaits; without re-checking, _stream_embeds would
+            # face a cache miss on the event loop (its fallbacks cover it,
+            # but a brand-new stream would then encode on the wrong
+            # thread).  Converges because mutations are human-rate.
+            while True:
+                missing = {
+                    str(st.options["prompt"])
+                    for st, _buf, _ts in items
+                    if str(st.options["prompt"]) not in self._prompt_cache
+                }
+                if not missing:
+                    break
+                for pr in missing:
+                    await self._get_dispatcher().run(
+                        loop, _ft.partial(self._encode_prompt, pr), lambda r: None
+                    )
         except Exception:
             logging.getLogger("videosd_tpu.engine").exception(
                 "prompt pre-encode failed for bucket %s", spec
