@@ -283,3 +283,120 @@ def test_jpeg_dims_header_parse():
         assert _jpeg_dims(buf.getvalue()) == (48, 64), kwargs
 
     assert _jpeg_dims(b"\xff\xd8garbage-not-a-jpeg") is None
+
+
+def test_rgb_to_i420_roundtrip_and_layout():
+    """Device-side I420 pack: layout must be standard contiguous I420
+    (Y plane, then U, then V with chroma-row pairs packed full-width),
+    and the yuv420_to_rgb/i420_to_rgb_host pairing must round-trip
+    smooth content to high accuracy."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videosd_tpu.ops import i420_to_rgb_host, rgb_to_i420, yuv420_to_rgb
+
+    H, W = 32, 48
+    rng = np.random.default_rng(11)
+    # smooth content: chroma subsampling is near-lossless on it
+    base = rng.integers(40, 216, (4, 4, 3)).astype(np.float32)
+    img = np.clip(
+        np.stack(
+            [
+                np.kron(base[..., c], np.ones((H // 4, W // 4)))
+                for c in range(3)
+            ],
+            axis=-1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+
+    packed = np.asarray(rgb_to_i420(jnp.asarray(img)))
+    assert packed.shape == (H * 3 // 2, W) and packed.dtype == np.uint8
+
+    # gray input -> flat chroma at 128, Y == luma
+    gray = np.full((H, W, 3), 77, np.uint8)
+    pg = np.asarray(rgb_to_i420(jnp.asarray(gray)))
+    np.testing.assert_array_equal(pg[:H], 77)
+    np.testing.assert_array_equal(pg[H:], 128)
+
+    # round-trip through the device-side unpack op
+    y = jnp.asarray(packed[:H])
+    u = jnp.asarray(packed[H : H + H // 4].reshape(H // 2, W // 2))
+    v = jnp.asarray(packed[H + H // 4 :].reshape(H // 2, W // 2))
+    back = np.asarray(yuv420_to_rgb(y, u, v)) * 255.0
+    assert np.abs(back - img.astype(np.float32)).mean() < 2.0
+
+    # and through the host-side unpack (raw-RGB reply path)
+    back_h = i420_to_rgb_host(packed).astype(np.float32)
+    assert np.abs(back_h - img.astype(np.float32)).mean() < 2.0
+
+    # batched pack matches per-image pack
+    batch = np.stack([img, gray])
+    pb = np.asarray(rgb_to_i420(jnp.asarray(batch)))
+    np.testing.assert_array_equal(pb[0], packed)
+    np.testing.assert_array_equal(pb[1], pg)
+
+
+def test_rgb_to_i420_matches_pil_ycbcr():
+    """The Y'CbCr matrix must be the JFIF/BT.601 full-range one (what
+    libjpeg and PIL use), not the limited-range TV matrix: compare the Y
+    plane and 2x2-averaged chroma against PIL's YCbCr conversion."""
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from videosd_tpu.ops import rgb_to_i420
+
+    H, W = 16, 16
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    packed = np.asarray(rgb_to_i420(jnp.asarray(img)))
+
+    ycc = np.asarray(Image.fromarray(img).convert("YCbCr")).astype(np.float32)
+    # PIL truncates the float matrix per pixel; allow 1 count of rounding
+    assert np.abs(packed[:H].astype(np.float32) - ycc[..., 0]).max() <= 1.0
+    cb = ycc[..., 1].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    cr = ycc[..., 2].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    u = packed[H : H + H // 4].reshape(H // 2, W // 2).astype(np.float32)
+    v = packed[H + H // 4 :].reshape(H // 2, W // 2).astype(np.float32)
+    assert np.abs(u - cb).max() <= 1.5
+    assert np.abs(v - cr).max() <= 1.5
+
+
+def test_encode_i420_matches_rgb_encoder():
+    """The raw-YCbCr native encode path must be visually identical to the
+    RGB encode path (same libjpeg quantization; the device already did the
+    colorspace conversion + 2x2 downsample libjpeg would have done), and
+    the PIL fallback (non-MCU-friendly widths) must stay close."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videosd_tpu.ops import rgb_to_i420
+    from videosd_tpu.runtime import jpegcodec as jc
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(30, 220, (8, 8, 3)).astype(np.float32)
+    img = np.clip(
+        np.stack([np.kron(base[..., c], np.ones((8, 8))) for c in range(3)], -1),
+        0,
+        255,
+    ).astype(np.uint8)  # 64x64 smooth
+    packed = np.asarray(rgb_to_i420(jnp.asarray(img)))
+
+    err = lambda a, b: np.abs(  # noqa: E731
+        a.astype(np.float32) - b.astype(np.float32)
+    ).mean()
+    via_i420 = jc.decode_rgb(jc.encode_i420(packed, 90))
+    via_rgb = jc.decode_rgb(jc.encode_rgb(img, 90))
+    assert via_i420.shape == img.shape
+    # same quantization pipeline -> near-identical reconstructions
+    assert err(via_i420, via_rgb) < 1.0
+    assert err(via_i420, img) < 8.0
+
+    # w=24 is not MCU-friendly: exercises the unpack+PIL fallback
+    img_n = img[:32, :24]
+    packed_n = np.asarray(rgb_to_i420(jnp.asarray(img_n)))
+    via_fb = jc.decode_rgb(jc.encode_i420(packed_n, 90))
+    assert via_fb.shape == img_n.shape
+    assert err(via_fb, img_n) < 10.0

@@ -370,3 +370,67 @@ def test_debug_memory_endpoint():
             await client.close()
 
     asyncio.run(run())
+
+
+def test_ws_i420_output_mode(rng):
+    """config output_format: i420 — batches leave the device packed
+    (engine.last_output is 2-D planar), yet both WS reply formats are
+    unchanged on the wire: raw replies are RGB24, jpeg replies decode at
+    the stream size.  Clients never see the transport optimization."""
+    import io
+
+    from PIL import Image
+
+    async def run():
+        from videosd_tpu.server.app import create_app
+
+        engine = _tiny_engine()
+        engine.output_format = "i420"
+        app = create_app(ServerConfig(output_format="i420"), engine=engine)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect("/ws")
+            await ws.send_str(
+                json.dumps(
+                    {
+                        "type": "init",
+                        "options": {"height": 32, "width": 32, "steps": 1},
+                    }
+                )
+            )
+            # raw replies must stay RGB24 regardless of engine format
+            out = None
+            for _ in range(40):
+                frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                await ws.send_bytes(struct.pack("<HH", 32, 32) + frame.tobytes())
+                msg = await asyncio.wait_for(ws.receive(), timeout=180)
+                assert msg.type.name == "BINARY"
+                h, w = struct.unpack("<HH", msg.data[:4])
+                out = np.frombuffer(msg.data[4:], np.uint8).reshape(h, w, 3)
+                assert out.shape == (32, 32, 3)
+                st = next(iter(engine.streams.values()))
+                if st.last_output is not None and st.last_output.ndim == 2:
+                    got_real = engine.telemetry.frames_out > 0 and (
+                        st.last_output[:32].std() > 0
+                    )
+                    if got_real:
+                        break
+                await asyncio.sleep(0.25)
+            st = next(iter(engine.streams.values()))
+            assert st.last_output.ndim == 2  # device output is packed
+            assert st.last_output.shape == (48, 32)
+
+            # jpeg replies ride the raw-YCbCr encoder
+            await ws.send_str(json.dumps({"type": "prompt", "jpeg": True}))
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            await ws.send_bytes(struct.pack("<HH", 32, 32) + frame.tobytes())
+            msg = await asyncio.wait_for(ws.receive(), timeout=180)
+            assert msg.data[:2] == b"\xff\xd8"
+            img = Image.open(io.BytesIO(msg.data))
+            assert img.size == (32, 32)
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.run(run())

@@ -143,6 +143,15 @@ class ServerConfig:
     # mesh axis sizes; data * model must equal `gpus`
     mesh_data: int | None = None
     mesh_model: int = 1
+    # diffused-output wire format off the device: "rgb" (u8 NHWC) or
+    # "i420" (packed planar 4:2:0, ops.rgb_to_i420).  i420 halves the
+    # device->host bytes per frame AND feeds libjpeg / VP8 encoders their
+    # native layout, skipping the host colorspace conversion the
+    # reference pays inside VideoFrame.from_ndarray (server.py:139).
+    # Lossy only in chroma (half-res Cb/Cr) — exactly what every JPEG/VP8
+    # consumer of these frames was about to do anyway.  Buckets whose
+    # geometry can't pack (h%4 or w%2) transparently serve RGB.
+    output_format: str = "rgb"
     # camera-frame mailbox (h, w): fixed-size per-stream frame buffers.
     # Camera frames up to this size keep their FULL field of view — the
     # on-device crop sees the true extent via a traced source box, so the
@@ -175,6 +184,11 @@ class ServerConfig:
         known = {k: v for k, v in d.items() if k in fields}
         cfg = cls(**known)
         cfg.frame_hw = tuple(int(x) for x in cfg.frame_hw)
+        cfg.output_format = str(cfg.output_format).lower()
+        if cfg.output_format not in ("rgb", "i420"):
+            raise ValueError(
+                f"output_format must be 'rgb' or 'i420', got {cfg.output_format!r}"
+            )
         if cfg.mesh_data is None:
             cfg.mesh_data = max(1, cfg.gpus // max(1, cfg.mesh_model))
         elif cfg.mesh_data * max(1, cfg.mesh_model) != max(1, cfg.gpus):

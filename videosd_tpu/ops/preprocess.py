@@ -25,6 +25,8 @@ __all__ = [
     "preprocess_frame",
     "postprocess_image",
     "yuv420_to_rgb",
+    "rgb_to_i420",
+    "i420_to_rgb_host",
 ]
 
 
@@ -179,3 +181,62 @@ def yuv420_to_rgb(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     b = yf + 1.772 * uf
     rgb = jnp.stack([r, g, b], axis=-1) / 255.0
     return jnp.clip(rgb, 0.0, 1.0)
+
+
+def rgb_to_i420(img_u8: jax.Array) -> jax.Array:
+    """uint8 RGB ``[..., H, W, 3]`` -> packed planar I420
+    ``[..., H*3//2, W]`` uint8, on device (BT.601 full-range, the inverse
+    pairing of :func:`yuv420_to_rgb`; chroma is 2x2 box-averaged).
+
+    Rationale: diffused output leaves the chip as 3 bytes/pixel RGB and is
+    immediately either JPEG-encoded (libjpeg converts to YCbCr 4:2:0
+    internally) or VP8-encoded for WebRTC (aiortc/libvpx consume I420 —
+    the reference pays this conversion on the host inside
+    ``VideoFrame.from_ndarray``, diffusert/server.py:139).  Packing on
+    device halves device->host bytes AND removes the host colorspace
+    conversion: the packed buffer is exactly libjpeg's raw-data layout
+    and ``av.VideoFrame.from_ndarray(..., format="yuv420p")``'s layout.
+
+    Layout (standard contiguous I420, W even, H % 4 == 0): rows
+    ``[0, H)`` = Y plane; rows ``[H, H + H//4)`` = U plane (each packed
+    row holds two chroma rows of W//2); rows ``[H + H//4, 3H//2)`` = V.
+    """
+    H, W = img_u8.shape[-3], img_u8.shape[-2]
+    if H % 4 or W % 2:
+        raise ValueError(f"I420 pack needs H%4==0 and W%2==0, got {H}x{W}")
+    f = img_u8.astype(jnp.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def sub(c):  # 2x2 box-average to half resolution
+        c = c.reshape(*c.shape[:-2], H // 2, 2, W // 2, 2)
+        return (c.sum(axis=-1).sum(axis=-2)) * 0.25
+
+    q = lambda x: jnp.round(jnp.clip(x, 0.0, 255.0)).astype(jnp.uint8)  # noqa: E731
+    yq = q(y)
+    # (H//2, W//2) -> (H//4, W): row-major reshape packs chroma-row pairs
+    # into full-width rows — exactly the contiguous I420 plane layout
+    uq = q(sub(u)).reshape(*y.shape[:-2], H // 4, W)
+    vq = q(sub(v)).reshape(*y.shape[:-2], H // 4, W)
+    return jnp.concatenate([yq, uq, vq], axis=-2)
+
+
+def i420_to_rgb_host(buf: "np.ndarray") -> "np.ndarray":
+    """Packed I420 ``[H*3//2, W]`` uint8 -> RGB24 ``[H, W, 3]`` uint8, on
+    host (numpy).  Nearest-neighbor chroma upsample, matching
+    :func:`yuv420_to_rgb`.  Used where a consumer demands RGB out of an
+    I420-mode engine: the raw-RGB24 WS reply path and reference-frame
+    feedback (both off the device hot path)."""
+    H = (buf.shape[0] * 2) // 3
+    W = buf.shape[1]
+    y = buf[:H].astype(np.float32)
+    u = buf[H : H + H // 4].reshape(H // 2, W // 2).astype(np.float32) - 128.0
+    v = buf[H + H // 4 :].reshape(H // 2, W // 2).astype(np.float32) - 128.0
+    u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)
+    v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0).round().astype(np.uint8)

@@ -141,6 +141,14 @@ class Engine:
         # and neither should the XLA build.
         self._ready_specs: set = set()
         self._compiling: set = set()
+        # device-side output pack (config output_format: "i420"): batches
+        # leave the chip as packed planar 4:2:0 — half the D2H bytes, and
+        # the exact layout libjpeg raw-data / VP8 encoders consume.  The
+        # jit caches one tiny program per output shape.
+        self.output_format = str(
+            getattr(self.config, "output_format", "rgb") or "rgb"
+        ).lower()
+        self._i420_pack = None
         self._dispatch_threads: dict[str, int] = {}
         # LRU: hits re-insert at the end, eviction pops the oldest entry one
         # at a time — a wholesale clear() would drop every active stream's
@@ -302,7 +310,7 @@ class Engine:
         msg = coerce_options(message)
         if "set_ref" in msg:
             if st.last_output is not None:
-                st.ref_frame = st.last_output.copy()
+                st.ref_frame = self._as_rgb(st.last_output).copy()
                 st.ref_hw = None  # derive extent from the output's shape
             msg.pop("set_ref")
         st.options.update(msg)
@@ -329,7 +337,7 @@ class Engine:
         if st.last_output is None:
             # first frame: black init frame, reference server.py:99,122
             h, w = int(st.options["height"]), int(st.options["width"])
-            st.last_output = np.zeros((h, w, 3), np.uint8)
+            st.last_output = self._black_output(h, w)
             st.ref_frame = frame
             st.ref_hw = st.in_hw
         fut = asyncio.get_running_loop().create_future()
@@ -698,6 +706,7 @@ class Engine:
                 seed,
                 **kwargs,
             )
+            out = self._maybe_pack_i420(out)
         else:
             kwargs = {}
             if warm_latents is not None:
@@ -714,7 +723,46 @@ class Engine:
                 self.params, frames, embeds, strength, guidance, scale, seed,
                 **kwargs,
             )
+            out = self._maybe_pack_i420(out)
         return key, out, latents
+
+    def _maybe_pack_i420(self, out):
+        """RGB u8 [B,H,W,3] -> packed I420 [B,3H/2,W] on device when the
+        engine serves i420 and the bucket geometry packs; identity
+        otherwise.  Downstream consumers branch on ndim (2 = packed), so
+        non-packable buckets degrade to RGB without a mode switch."""
+        if self.output_format != "i420":
+            return out
+        h, w = int(out.shape[1]), int(out.shape[2])
+        if h % 4 or w % 2:
+            return out
+        if self._i420_pack is None:
+            import jax
+
+            from videosd_tpu.ops.preprocess import rgb_to_i420
+
+            self._i420_pack = jax.jit(rgb_to_i420)
+        return self._i420_pack(out)
+
+    def _black_output(self, h: int, w: int) -> np.ndarray:
+        """Black init frame in the stream's wire format (reference
+        server.py:99,122): Y=0 + neutral chroma when packing I420."""
+        if self.output_format == "i420" and h % 4 == 0 and w % 2 == 0:
+            buf = np.full((h * 3 // 2, w), 128, np.uint8)
+            buf[:h] = 0
+            return buf
+        return np.zeros((h, w, 3), np.uint8)
+
+    @staticmethod
+    def _as_rgb(frame: np.ndarray) -> np.ndarray:
+        """Output frame (RGB [H,W,3] or packed I420 [3H/2,W]) -> RGB.
+        Host cost only where RGB is genuinely demanded (reference-frame
+        feedback, raw-RGB24 WS replies)."""
+        if frame.ndim == 2:
+            from videosd_tpu.ops.preprocess import i420_to_rgb_host
+
+            return i420_to_rgb_host(frame)
+        return frame
 
     def _finalize_bucket(self, raw):
         """Block on one dispatched batch and bring the images to the host.
@@ -1140,7 +1188,7 @@ class Engine:
             # reference behavior: when ref is on, the last generated
             # frame becomes the new reference (server.py:115-116)
             if st.options.get("ref"):
-                st.ref_frame = out[i]
+                st.ref_frame = self._as_rgb(out[i])
                 st.ref_hw = None  # extent derives from the output's shape
             while st.waiters:
                 wtr = st.waiters.pop(0)

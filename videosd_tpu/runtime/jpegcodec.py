@@ -16,7 +16,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["decode_rgb", "encode_rgb", "native_available"]
+__all__ = ["decode_rgb", "encode_rgb", "encode_i420", "native_available"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _SRC = os.path.join(_NATIVE_DIR, "jpegcodec.cpp")
@@ -54,6 +54,12 @@ def _load():
             ]
             lib.jc_encode_rgb.restype = ctypes.c_int
             lib.jc_encode_rgb.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
+            lib.jc_encode_i420.restype = ctypes.c_int
+            lib.jc_encode_i420.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_size_t),
@@ -168,4 +174,32 @@ def encode_rgb(rgb: np.ndarray, quality: int = 85) -> bytes:
     )
     if rc != 0:
         return _pil_encode(rgb, quality)
+    return out[: n.value].tobytes()
+
+
+def encode_i420(buf: np.ndarray, quality: int = 85) -> bytes:
+    """Packed planar I420 ``[H*3//2, W]`` uint8 (ops.rgb_to_i420 layout)
+    -> JPEG bytes via libjpeg's raw-data path: no host colorspace
+    conversion, no host chroma downsampling — the device already emitted
+    4:2:0 YCbCr.  Falls back to unpack + RGB encode when the native lib
+    is unavailable or the geometry is not MCU-friendly (w % 16)."""
+    buf = np.ascontiguousarray(buf, np.uint8)
+    h = (buf.shape[0] * 2) // 3
+    w = buf.shape[1]
+    lib = _load()
+    if lib is None or h % 2 or w % 16:
+        from videosd_tpu.ops.preprocess import i420_to_rgb_host
+
+        return _pil_encode(i420_to_rgb_host(buf), quality)
+    cap = h * w * 3 + (1 << 16)
+    out = _tls_buf("enc", cap)
+    n = ctypes.c_size_t()
+    rc = lib.jc_encode_i420(
+        buf.ctypes.data_as(ctypes.c_void_p), h, w, quality,
+        out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(n),
+    )
+    if rc != 0:
+        from videosd_tpu.ops.preprocess import i420_to_rgb_host
+
+        return _pil_encode(i420_to_rgb_host(buf), quality)
     return out[: n.value].tobytes()

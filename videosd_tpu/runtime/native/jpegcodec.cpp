@@ -11,6 +11,11 @@
 //   jc_decode_rgb(data, len, out, out_cap, &h, &w)  -> 0 ok / <0 error
 //     out receives packed RGB24 rows (h*w*3 bytes, h/w written back).
 //   jc_encode_rgb(rgb, h, w, quality, out, out_cap, &out_len) -> 0 ok
+//   jc_encode_i420(i420, h, w, quality, out, out_cap, &out_len) -> 0 ok
+//     i420 is the packed planar buffer the TPU emits (ops.rgb_to_i420):
+//     h*w Y bytes, then (h/2)*(w/2) U, then V.  Skips libjpeg's RGB->
+//     YCbCr conversion AND its chroma downsampling pass entirely
+//     (jpeg_write_raw_data) — the device already did both.
 //
 // Both are one-shot (no persistent state) and thread-safe.
 
@@ -107,6 +112,76 @@ int jc_encode_rgb(const uint8_t* rgb, int h, int w, int quality, uint8_t* out,
   while (cinfo.next_scanline < cinfo.image_height) {
     JSAMPROW row = const_cast<uint8_t*>(rgb) + size_t(cinfo.next_scanline) * stride;
     jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  unsigned char* done_buf = buf;
+  unsigned long done_len = buf_len;
+  if (done_len > out_cap) {
+    free(done_buf);
+    return -3;
+  }
+  memcpy(out, done_buf, done_len);
+  *out_len = done_len;
+  free(done_buf);
+  return 0;
+}
+
+int jc_encode_i420(const uint8_t* i420, int h, int w, int quality,
+                   uint8_t* out, size_t out_cap, size_t* out_len) {
+  // w%16==0 keeps chroma rows block-aligned (w/2 % 8 == 0), so no
+  // horizontal MCU padding is needed; serving sizes are /16-negotiated
+  // (client app.js) so this always holds on the hot path.  h is padded
+  // vertically by last-row replication below.
+  if (h % 2 || w % 16) return -4;
+  jpeg_compress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = on_error;
+  jerr.pub.output_message = on_message;
+  unsigned char* volatile buf = nullptr;
+  volatile unsigned long buf_len = 0;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_compress(&cinfo);
+    if (buf) free(buf);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, const_cast<unsigned char**>(&buf),
+                const_cast<unsigned long*>(&buf_len));
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  cinfo.raw_data_in = TRUE;
+  cinfo.comp_info[0].h_samp_factor = 2;  // 4:2:0, matching the device pack
+  cinfo.comp_info[0].v_samp_factor = 2;
+  cinfo.comp_info[1].h_samp_factor = 1;
+  cinfo.comp_info[1].v_samp_factor = 1;
+  cinfo.comp_info[2].h_samp_factor = 1;
+  cinfo.comp_info[2].v_samp_factor = 1;
+  jpeg_start_compress(&cinfo, TRUE);
+  const uint8_t* Y = i420;
+  const uint8_t* U = i420 + size_t(h) * w;
+  const uint8_t* V = U + size_t(h / 2) * (w / 2);
+  JSAMPROW yrows[16], urows[8], vrows[8];
+  JSAMPARRAY planes[3] = {yrows, urows, vrows};
+  while (cinfo.next_scanline < cinfo.image_height) {
+    const int base = int(cinfo.next_scanline);
+    for (int i = 0; i < 16; ++i) {
+      int r = base + i;
+      if (r >= h) r = h - 1;  // replicate last row into MCU padding
+      yrows[i] = const_cast<uint8_t*>(Y + size_t(r) * w);
+    }
+    for (int i = 0; i < 8; ++i) {
+      int r = base / 2 + i;
+      if (r >= h / 2) r = h / 2 - 1;
+      urows[i] = const_cast<uint8_t*>(U + size_t(r) * (w / 2));
+      vrows[i] = const_cast<uint8_t*>(V + size_t(r) * (w / 2));
+    }
+    jpeg_write_raw_data(&cinfo, planes, 16);
   }
   jpeg_finish_compress(&cinfo);
   jpeg_destroy_compress(&cinfo);

@@ -120,6 +120,8 @@ def _jpeg_encode(out: np.ndarray, engine: Engine) -> bytes:
     from videosd_tpu.runtime import jpegcodec
 
     with engine.telemetry.stages.time("jpeg_encode"):
+        if out.ndim == 2:  # packed I420 from an i420-mode engine: raw path
+            return jpegcodec.encode_i420(out, quality=85)
         return jpegcodec.encode_rgb(out, quality=85)
 
 
@@ -172,6 +174,11 @@ async def ws_handler(request: web.Request) -> web.WebSocketResponse:
                     None, _jpeg_encode, out, engine
                 )
             else:
+                # wire protocol is raw RGB24; an i420-mode engine hands us
+                # packed planar frames (ndim 2) — unpack on host (the D2H
+                # tunnel, not host CPU, is the measured bottleneck)
+                if out.ndim == 2:
+                    out = engine._as_rgb(out)
                 oh, ow = out.shape[:2]
                 payload = struct.pack("<HH", oh, ow) + out.tobytes()
         except Exception:

@@ -44,7 +44,11 @@ class VideoSDTrack(MediaStreamTrack):
         self._pending: asyncio.Task | None = None
         h = int(self.stream.options["height"])
         w = int(self.stream.options["width"])
-        self._current = np.zeros((h, w, 3), np.uint8)
+        # format follows the engine: an i420-mode engine hands us packed
+        # planar frames, which VideoFrame consumes natively (yuv420p) —
+        # skipping the host RGB->YUV conversion inside the VP8 encoder
+        # that the reference pays per frame (server.py:139)
+        self._current = engine._black_output(h, w)
 
     async def recv(self):
         frame = await self.track.recv()
@@ -61,7 +65,8 @@ class VideoSDTrack(MediaStreamTrack):
                 self.engine.submit_frame(self.stream.stream_id, arr)
             )
 
-        out = VideoFrame.from_ndarray(self._current, format="rgb24")
+        fmt = "yuv420p" if self._current.ndim == 2 else "rgb24"
+        out = VideoFrame.from_ndarray(self._current, format=fmt)
         out.pts = frame.pts
         out.time_base = frame.time_base
         return out
