@@ -434,3 +434,25 @@ def test_ws_i420_output_mode(rng):
             await client.close()
 
     asyncio.run(run())
+
+
+def test_debug_engine_endpoint():
+    """Runtime output-format toggle: GET reports, POST flips, bad values 400."""
+
+    async def run():
+        client = await _make_client()
+        try:
+            r = await client.get("/debug/engine")
+            assert (await r.json())["output_format"] == "rgb"
+            r = await client.post("/debug/engine", json={"output_format": "I420"})
+            assert (await r.json())["output_format"] == "i420"
+            app_engine = client.server.app["engine"]
+            assert app_engine.output_format == "i420"
+            r = await client.post("/debug/engine", json={"output_format": "bgr"})
+            assert r.status == 400
+            r = await client.post("/debug/engine", json={"output_format": "rgb"})
+            assert (await r.json())["output_format"] == "rgb"
+        finally:
+            await client.close()
+
+    asyncio.run(run())

@@ -313,6 +313,32 @@ async def profile_handler(request: web.Request) -> web.Response:
 # ----------------------------------------------------------------- app
 
 
+async def debug_engine_handler(request: web.Request) -> web.Response:
+    """Runtime engine knobs: POST {"output_format": "rgb"|"i420"}.
+
+    Ops aid for A/B-ing the output wire format live (no reboot, no
+    recompile of the frame programs — the I420 pack is a separate tiny
+    jit and every downstream consumer branches per-frame on the packed
+    vs RGB layout, so mid-flight streams mix formats safely).  GET
+    returns the current values."""
+    engine: Engine = request.app["engine"]
+    if request.method == "POST":
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "bad json"}, status=400)
+        fmt = body.get("output_format")
+        if fmt is not None:
+            fmt = str(fmt).lower()
+            if fmt not in ("rgb", "i420"):
+                return web.json_response(
+                    {"error": f"output_format must be rgb|i420, got {fmt!r}"},
+                    status=400,
+                )
+            engine.output_format = fmt
+    return web.json_response({"output_format": engine.output_format})
+
+
 async def debug_memory_handler(request: web.Request) -> web.Response:
     """Host-memory introspection: ?action=start|top|stop (tracemalloc).
 
@@ -409,6 +435,7 @@ def create_app(config: ServerConfig | None = None, *, engine: Engine | None = No
     app.router.add_get("/healthz", healthz)
     app.router.add_post("/profile", profile_handler)
     app.router.add_get("/debug/memory", debug_memory_handler)
+    app.router.add_route("*", "/debug/engine", debug_engine_handler)
 
     # serve the bundled static client at / when present (production deploys
     # put nginx in front instead, like the reference's frontend container)
