@@ -400,3 +400,77 @@ def test_encode_i420_matches_rgb_encoder():
     via_fb = jc.decode_rgb(jc.encode_i420(packed_n, 90))
     assert via_fb.shape == img_n.shape
     assert err(via_fb, img_n) < 10.0
+
+
+def test_i420_input_ops_roundtrip():
+    """Input-side i420 ops: the host pack matches the device pack
+    bit-for-bit, and the device unpack (i420_to_rgb255) recovers smooth
+    content through the pack to high accuracy."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videosd_tpu.ops import i420_to_rgb255, rgb_to_i420, rgb_to_i420_host
+
+    H, W = 32, 48
+    rng = np.random.default_rng(17)
+    base = rng.integers(40, 216, (4, 4, 3)).astype(np.float32)
+    img = np.clip(
+        np.stack(
+            [np.kron(base[..., c], np.ones((H // 4, W // 4))) for c in range(3)],
+            axis=-1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+
+    dev = np.asarray(rgb_to_i420(jnp.asarray(img)))
+    host = rgb_to_i420_host(img)
+    np.testing.assert_array_equal(dev, host)
+
+    back = np.asarray(i420_to_rgb255(jnp.asarray(dev)))
+    assert back.shape == (H, W, 3)
+    assert np.abs(back - img.astype(np.float32)).mean() < 2.0
+
+    # batched unpack
+    batch = np.stack([dev, dev])
+    backb = np.asarray(i420_to_rgb255(jnp.asarray(batch)))
+    np.testing.assert_allclose(backb[0], back, atol=1e-4)
+
+
+def test_decode_i420_paths():
+    """JPEG -> packed I420 decode: the native raw path (4:2:0, /16 dims)
+    and the fallbacks (4:4:4 JPEG, odd sizes) all return the packed
+    layout and reconstruct the image."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from videosd_tpu.ops.preprocess import i420_to_rgb_host
+    from videosd_tpu.runtime import jpegcodec as jc
+
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    img = np.stack([yy * 2, xx * 2, yy + xx], -1).clip(0, 255).astype(np.uint8)
+
+    def enc(im, **kw):
+        buf = io.BytesIO()
+        Image.fromarray(im).save(buf, "JPEG", **kw)
+        return buf.getvalue()
+
+    # 4:2:0 /16 dims: native raw path (when the lib is available)
+    packed = jc.decode_i420(enc(img, quality=90))
+    assert packed.shape == (96, 64) and packed.dtype == np.uint8
+    back = i420_to_rgb_host(packed).astype(np.float32)
+    assert np.abs(back - img.astype(np.float32)).mean() < 2.0
+    # must stay near the RGB decode of the same bytes
+    ref = jc.decode_rgb(enc(img, quality=90)).astype(np.float32)
+    assert np.abs(back - ref).mean() < 2.0
+
+    # 4:4:4 JPEG -> RGB decode + host pack fallback
+    p2 = jc.decode_i420(enc(img, quality=96, subsampling=0))
+    assert p2.shape == (96, 64)
+    assert np.abs(i420_to_rgb_host(p2).astype(np.float32) - img).mean() < 2.0
+
+    # odd size -> fallback trims to the chroma grid
+    p3 = jc.decode_i420(enc(img[:50, :42], quality=90))
+    assert p3.shape == (48 * 3 // 2, 42)

@@ -198,3 +198,32 @@ def test_safety_hook_seam(bundle, embeds, rng):
     np.testing.assert_array_equal(np.asarray(out_g[0]), np.asarray(out_p[0]))
     assert int(np.asarray(out_g[1]).sum()) == 0  # flagged row is black
     assert int(np.asarray(out_p[1]).sum()) > 0
+
+
+def test_i420_input_program_parity(bundle, program, embeds, rng):
+    """in_format=i420: the packed-input program on a packed smooth frame
+    stays close to the RGB program on the source frame — the only
+    divergence budget is the chroma 2x2 subsample, which the diffusion
+    process must not amplify into a different image."""
+    from videosd_tpu.ops import rgb_to_i420_host
+
+    base = rng.integers(40, 216, (4, 4, 3)).astype(np.float32)
+    img = np.clip(
+        np.stack([np.kron(base[..., c], np.ones((8, 8))) for c in range(3)], -1),
+        0,
+        255,
+    ).astype(np.uint8)  # 32x32 smooth
+
+    spec_i420 = FrameSpec(batch=1, height=32, width=32, steps=2, in_format="i420")
+    prog_i420 = build_frame_program(bundle, spec_i420)
+
+    packed = rgb_to_i420_host(img)[None]
+    out_i, lat_i = prog_i420(bundle.params, jnp.asarray(packed), embeds, *_opts())
+    out_r, _ = program(bundle.params, jnp.asarray(img[None]), embeds, *_opts())
+
+    assert out_i.shape == (1, 32, 32, 3) and out_i.dtype == jnp.uint8
+    assert np.isfinite(np.asarray(lat_i)).all()
+    diff = np.abs(
+        np.asarray(out_i, np.float32) - np.asarray(out_r, np.float32)
+    ).mean()
+    assert diff < 8.0, diff

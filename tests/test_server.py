@@ -452,6 +452,133 @@ def test_debug_engine_endpoint():
             assert r.status == 400
             r = await client.post("/debug/engine", json={"output_format": "rgb"})
             assert (await r.json())["output_format"] == "rgb"
+            r = await client.post("/debug/engine", json={"input_format": "i420"})
+            body = await r.json()
+            assert body["input_format"] == "i420"
+            assert app_engine.input_format == "i420"
+            assert app_engine._mailbox_shape()[0] == app_engine.frame_hw[0] * 3 // 2
+            r = await client.post("/debug/engine", json={"input_format": "bgr"})
+            assert r.status == 400
+            r = await client.post("/debug/engine", json={"input_format": "rgb"})
+            assert (await r.json())["input_format"] == "rgb"
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+def test_fit_frame_i420_geometry():
+    """Packed-plane mailbox fit: a smaller camera frame lands top-left in
+    each plane region with black padding, extent reported even-aligned;
+    RGB frames submitted to an i420 engine are host-packed first."""
+    from videosd_tpu.ops.preprocess import i420_to_rgb_host, rgb_to_i420_host
+    from videosd_tpu.runtime.engine import Engine
+
+    eng = Engine(
+        ServerConfig(input_format="i420"), max_streams=2, frame_hw=(64, 64)
+    )
+    assert eng._mailbox_shape() == (96, 64)
+
+    rng = np.random.default_rng(2)
+    base = rng.integers(40, 216, (4, 4, 3)).astype(np.float32)
+    img = np.clip(
+        np.stack([np.kron(base[..., c], np.ones((8, 12))) for c in range(3)], -1),
+        0,
+        255,
+    ).astype(np.uint8)  # 32x48 smooth
+    packed = rgb_to_i420_host(img)
+
+    fitted, ext = eng._fit_frame(packed)
+    assert fitted.shape == (96, 64) and ext == (32, 48)
+    rgb = i420_to_rgb_host(fitted)
+    # content sits top-left, reconstructed faithfully
+    assert np.abs(rgb[:32, :48].astype(np.float32) - img).mean() < 3.0
+    # padding is black
+    assert rgb[40:, :].max() == 0 and rgb[:, 52:].max() == 0
+
+    # RGB input is packed transparently
+    fitted2, ext2 = eng._fit_frame(img)
+    np.testing.assert_array_equal(fitted2, fitted)
+    assert ext2 == (32, 48)
+
+    # oversized frames center-crop per plane (68x72 -> 64x64, even offsets
+    # 2,4 keep the chroma grid aligned).  Y is exact under the crop; full
+    # RGB needs smooth content (chroma is 2x2-subsampled by the pack).
+    big = np.clip(
+        np.stack(
+            [np.kron(base[..., c], np.ones((17, 18))) for c in range(3)], -1
+        ),
+        0,
+        255,
+    ).astype(np.uint8)  # 68x72 smooth
+    big_packed = rgb_to_i420_host(big)
+    fitted3, ext3 = eng._fit_frame(big_packed)
+    assert fitted3.shape == (96, 64) and ext3 == (64, 64)
+    np.testing.assert_array_equal(fitted3[:64], big_packed[2:66, 4:68])
+    crop = i420_to_rgb_host(fitted3).astype(np.float32)
+    want = big[2:66, 4:68].astype(np.float32)
+    assert np.abs(crop - want).mean() < 6.0
+
+
+def test_ws_i420_input_mode(rng):
+    """config input_format: i420 — camera frames ride the packed mailbox
+    (engine sees 2-D planar inputs) and both the raw-RGB24 and JPEG
+    upload paths produce replies; wire protocol unchanged."""
+    import io
+
+    from PIL import Image
+
+    async def run():
+        from videosd_tpu.server.app import create_app
+
+        engine = _tiny_engine()
+        engine.set_input_format("i420")
+        app = create_app(ServerConfig(input_format="i420"), engine=engine)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect("/ws")
+            await ws.send_str(
+                json.dumps(
+                    {
+                        "type": "init",
+                        "options": {"height": 32, "width": 32, "steps": 1},
+                    }
+                )
+            )
+            got_real = False
+            for i in range(40):
+                frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                await ws.send_bytes(struct.pack("<HH", 32, 32) + frame.tobytes())
+                msg = await asyncio.wait_for(ws.receive(), timeout=180)
+                assert msg.type.name == "BINARY"
+                h, w = struct.unpack("<HH", msg.data[:4])
+                out = np.frombuffer(msg.data[4:], np.uint8).reshape(h, w, 3)
+                assert out.shape == (32, 32, 3)
+                st = next(iter(engine.streams.values()))
+                if (
+                    engine.telemetry.frames_out > 0
+                    and st.last_input is not None
+                    and out.std() > 0
+                ):
+                    got_real = True
+                    break
+                await asyncio.sleep(0.25)
+            assert got_real
+            st = next(iter(engine.streams.values()))
+            assert st.last_input.ndim == 2  # packed mailbox frame
+            assert st.last_input.shape == (48, 32)
+            assert st.ref_frame.ndim == 3  # ref stays RGB
+
+            # JPEG upload path (decode_i420)
+            buf = io.BytesIO()
+            Image.fromarray(
+                rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            ).save(buf, "JPEG", quality=85)
+            await ws.send_bytes(buf.getvalue())
+            msg = await asyncio.wait_for(ws.receive(), timeout=180)
+            assert msg.type.name == "BINARY"
+            await ws.close()
         finally:
             await client.close()
 

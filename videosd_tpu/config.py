@@ -152,6 +152,15 @@ class ServerConfig:
     # consumer of these frames was about to do anyway.  Buckets whose
     # geometry can't pack (h%4 or w%2) transparently serve RGB.
     output_format: str = "rgb"
+    # camera-frame upload layout: "rgb" (u8 NHWC) or "i420" (packed
+    # planar 4:2:0).  i420 halves the host->device bytes per frame and
+    # lets the JPEG decode skip its host colorspace/upsample passes
+    # (jpegcodec.decode_i420 raw path) and the WebRTC track hand over the
+    # VP8 decoder's native planes untouched; the frame program unpacks on
+    # device where the conversion fuses into preprocess.  Input chroma
+    # subsampling costs nothing extra: WebRTC video and camera JPEGs are
+    # already 4:2:0 at the source.
+    input_format: str = "rgb"
     # camera-frame mailbox (h, w): fixed-size per-stream frame buffers.
     # Camera frames up to this size keep their FULL field of view — the
     # on-device crop sees the true extent via a traced source box, so the
@@ -184,11 +193,11 @@ class ServerConfig:
         known = {k: v for k, v in d.items() if k in fields}
         cfg = cls(**known)
         cfg.frame_hw = tuple(int(x) for x in cfg.frame_hw)
-        cfg.output_format = str(cfg.output_format).lower()
-        if cfg.output_format not in ("rgb", "i420"):
-            raise ValueError(
-                f"output_format must be 'rgb' or 'i420', got {cfg.output_format!r}"
-            )
+        for key in ("output_format", "input_format"):
+            val = str(getattr(cfg, key)).lower()
+            if val not in ("rgb", "i420"):
+                raise ValueError(f"{key} must be 'rgb' or 'i420', got {val!r}")
+            setattr(cfg, key, val)
         if cfg.mesh_data is None:
             cfg.mesh_data = max(1, cfg.gpus // max(1, cfg.mesh_model))
         elif cfg.mesh_data * max(1, cfg.mesh_model) != max(1, cfg.gpus):

@@ -26,6 +26,8 @@ __all__ = [
     "postprocess_image",
     "yuv420_to_rgb",
     "rgb_to_i420",
+    "i420_to_rgb255",
+    "rgb_to_i420_host",
     "i420_to_rgb_host",
 ]
 
@@ -221,6 +223,51 @@ def rgb_to_i420(img_u8: jax.Array) -> jax.Array:
     uq = q(sub(u)).reshape(*y.shape[:-2], H // 4, W)
     vq = q(sub(v)).reshape(*y.shape[:-2], H // 4, W)
     return jnp.concatenate([yq, uq, vq], axis=-2)
+
+
+def i420_to_rgb255(packed: jax.Array) -> jax.Array:
+    """Packed planar I420 ``[..., H*3//2, W]`` uint8 -> float32 RGB
+    ``[..., H, W, 3]`` in [0, 255], on device.
+
+    The camera-input counterpart of :func:`rgb_to_i420`: frames upload
+    host->device as packed 4:2:0 (1.5 bytes/pixel — half of RGB24) and
+    unpack inside the frame program, where the conversion fuses into the
+    preprocess stage for free.  Output is 0..255 float because both
+    :func:`crop_resize` and :func:`preprocess_frame` accept float frames
+    in that range (they divide by 255 themselves)."""
+    H = (packed.shape[-2] * 2) // 3
+    W = packed.shape[-1]
+    lead = packed.shape[:-2]
+    y = packed[..., :H, :]
+    u = packed[..., H : H + H // 4, :].reshape(*lead, H // 2, W // 2)
+    v = packed[..., H + H // 4 :, :].reshape(*lead, H // 2, W // 2)
+    return yuv420_to_rgb(y, u, v) * 255.0
+
+
+def rgb_to_i420_host(img: "np.ndarray") -> "np.ndarray":
+    """uint8 RGB ``[H, W, 3]`` -> packed planar I420 ``[H*3//2, W]``
+    uint8, on host (numpy) — the same BT.601 full-range math as
+    :func:`rgb_to_i420`.  Fallback pack for camera inputs that arrive as
+    RGB when the engine's input format is i420 (raw-RGB24 WS uploads,
+    non-4:2:0 JPEGs the native raw decoder rejects)."""
+    H, W = img.shape[:2]
+    if H % 4 or W % 2:
+        raise ValueError(f"I420 pack needs H%4==0 and W%2==0, got {H}x{W}")
+    f = img.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def sub(c):
+        return c.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+
+    q = lambda x: np.clip(x, 0.0, 255.0).round().astype(np.uint8)  # noqa: E731
+    out = np.empty((H * 3 // 2, W), np.uint8)
+    out[:H] = q(y)
+    out[H : H + H // 4] = q(sub(u)).reshape(H // 4, W)
+    out[H + H // 4 :] = q(sub(v)).reshape(H // 4, W)
+    return out
 
 
 def i420_to_rgb_host(buf: "np.ndarray") -> "np.ndarray":

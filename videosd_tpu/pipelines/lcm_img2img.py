@@ -55,6 +55,7 @@ from videosd_tpu.models import (
 from videosd_tpu.models.layers import guidance_embedding
 from videosd_tpu.ops import (
     crop_resize,
+    i420_to_rgb255,
     postprocess_image,
     preprocess_frame,
     sobel_control_image,
@@ -81,6 +82,11 @@ class FrameSpec:
     # camera input shape before center-crop (defaults: already target-sized)
     in_height: int | None = None
     in_width: int | None = None
+    # camera-frame upload layout: "rgb" = uint8 NHWC [B,Hin,Win,3];
+    # "i420" = packed planar 4:2:0 [B,Hin*3//2,Win] (ops.rgb_to_i420
+    # layout) — half the host->device bytes, unpacked on device where the
+    # conversion fuses into preprocess (ops.i420_to_rgb255)
+    in_format: str = "rgb"
     steps: int = 4
     use_controlnet: bool = True
     vae: str = "taesd"  # taesd | kl
@@ -334,6 +340,9 @@ def frame_program(
     # named scopes label the HLO op metadata so /profile can symbolize
     # fusions back to model blocks (zero runtime/compile-cache cost)
     with jax.named_scope("preprocess"):
+        if spec.in_format == "i420":
+            # packed 4:2:0 upload (half the H2D bytes): unpack fuses here
+            frame_u8 = i420_to_rgb255(frame_u8)
         if src_box is not None:
             img01 = crop_resize(
                 frame_u8, src_box, spec.height, spec.width, dtype=jnp.float32

@@ -36,7 +36,12 @@ import jax.numpy as jnp
 
 from videosd_tpu.models.layers import guidance_embedding
 from videosd_tpu.models.unet import BankReader, unet_apply
-from videosd_tpu.ops import crop_resize, postprocess_image, preprocess_frame
+from videosd_tpu.ops import (
+    crop_resize,
+    i420_to_rgb255,
+    postprocess_image,
+    preprocess_frame,
+)
 from videosd_tpu.pipelines.lcm_img2img import (
     FrameSpec,
     ModelBundle,
@@ -114,6 +119,10 @@ def reference_frame_program(
     B, S = spec.batch, spec.steps
     cfgs = (taesd_cfg, vae_cfg)
 
+    if spec.in_format == "i420":
+        # camera frames upload packed 4:2:0 (lcm_img2img.frame_program);
+        # the style reference stays RGB (uploaded once per set_ref)
+        frame_u8 = i420_to_rgb255(frame_u8)
     if src_box is not None:
         img01 = crop_resize(frame_u8, src_box, spec.height, spec.width, dtype=jnp.float32)
     else:

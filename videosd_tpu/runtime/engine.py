@@ -111,7 +111,23 @@ class Engine:
         # mailbox geometry is config-driven (reference crops at full camera
         # resolution; the mailbox must fit the negotiated camera size)
         self.frame_hw = tuple(frame_hw or self.config.frame_hw)
+        # camera-frame upload layout (config input_format): "i420" keeps
+        # mailboxes/uploads packed planar 4:2:0 — half the host->device
+        # bytes; the frame program unpacks on device (ops.i420_to_rgb255)
+        self.input_format = str(
+            getattr(self.config, "input_format", "rgb") or "rgb"
+        ).lower()
+        if self.input_format == "i420" and (
+            self.frame_hw[0] % 4 or self.frame_hw[1] % 2
+        ):
+            raise ValueError(
+                f"input_format=i420 needs frame_hw H%4==0 and W%2==0, "
+                f"got {self.frame_hw}"
+            )
         self.telemetry = Telemetry()
+        # slots sized for RGB (the larger layout) so input_format can flip
+        # at runtime (ops A/B via /debug/engine): packed i420 puts/takes
+        # use fewer bytes of the same slot
         self.queue = FrameQueue(
             max_streams, self.frame_hw[0] * self.frame_hw[1] * 3
         )
@@ -297,7 +313,7 @@ class Engine:
             # drain any frame left in the mailbox so the next occupant of
             # this slot doesn't inherit a stale frame, then recycle
             if self.queue.has_fresh(sid):
-                buf = np.empty((*self.frame_hw, 3), np.uint8)
+                buf = np.empty(self._mailbox_shape(), np.uint8)
                 self.queue.take(sid, buf)
             self._free_slots.append(sid)
 
@@ -338,7 +354,7 @@ class Engine:
             # first frame: black init frame, reference server.py:99,122
             h, w = int(st.options["height"]), int(st.options["width"])
             st.last_output = self._black_output(h, w)
-            st.ref_frame = frame
+            st.ref_frame = self._as_rgb(frame)
             st.ref_hw = st.in_hw
         fut = asyncio.get_running_loop().create_future()
         st.waiters.append(fut)
@@ -347,6 +363,41 @@ class Engine:
         except asyncio.CancelledError:
             return st.last_output
 
+    def _mailbox_shape(self) -> tuple[int, ...]:
+        h, w = self.frame_hw
+        if self.input_format == "i420":
+            return (h * 3 // 2, w)
+        return (h, w, 3)
+
+    def _mailbox_nbytes(self) -> int:
+        return int(np.prod(self._mailbox_shape()))
+
+    def set_input_format(self, fmt: str):
+        """Flip the camera-upload layout live (ops A/B via /debug/engine).
+
+        Mailbox slots are allocated at RGB size so both layouts fit; the
+        drain discards frames stored in the OLD layout (one dropped frame
+        per active stream at most — streams resubmit immediately).  The
+        first bucket in the new layout is a fresh program spec: the
+        compile-stall-avoidance path serves passthrough frames while it
+        background-compiles, exactly like any cold bucket."""
+        fmt = str(fmt).lower()
+        if fmt not in ("rgb", "i420"):
+            raise ValueError(f"input_format must be rgb|i420, got {fmt!r}")
+        if fmt == "i420" and (self.frame_hw[0] % 4 or self.frame_hw[1] % 2):
+            raise ValueError(
+                f"input_format=i420 needs frame_hw H%4==0 W%2==0, "
+                f"got {self.frame_hw}"
+            )
+        if fmt == self.input_format:
+            return
+        self.input_format = fmt
+        buf = np.empty(self._mailbox_shape(), np.uint8)
+        for sid, st in self.streams.items():
+            if self.queue.has_fresh(sid):
+                self.queue.take(sid, buf)
+            st.last_input = None  # old-layout frame: similarity reset
+
     def _fit_frame(self, frame: np.ndarray) -> tuple[np.ndarray, tuple[int, int]]:
         """Mailboxes are fixed-size; place the camera frame top-left and
         return (mailbox_frame, true_extent).  The true extent rides to the
@@ -354,7 +405,28 @@ class Engine:
         the REAL camera geometry (reference crops at full camera
         resolution, videopipeline.py:91-107).  Frames LARGER than the
         mailbox (out-of-contract: the client negotiates <= 768) are
-        host-center-cropped — centered, never top-left."""
+        host-center-cropped — centered, never top-left.
+
+        An i420-input engine fits per PLANE (Y top-left in the Y region,
+        U/V in their subplane grids); RGB frames submitted to it are
+        host-packed first, so callers may submit either layout."""
+        if self.input_format == "i420":
+            if frame.ndim == 3:
+                from videosd_tpu.ops.preprocess import rgb_to_i420_host
+
+                fh, fw = frame.shape[:2]
+                frame = rgb_to_i420_host(
+                    frame[: fh - fh % 4, : fw - fw % 2, :3]
+                )
+            return self._fit_frame_i420(frame)
+        return self._fit_frame_rgb(frame)
+
+    def _fit_frame_rgb(
+        self, frame: np.ndarray
+    ) -> tuple[np.ndarray, tuple[int, int]]:
+        """RGB mailbox fit — also used for ref frames on an i420-input
+        engine (style references upload as RGB regardless of the camera
+        layout; they change once per set_ref, not per frame)."""
         h, w = self.frame_hw
         fh, fw = frame.shape[:2]
         if (fh, fw) == (h, w):
@@ -363,6 +435,34 @@ class Engine:
         y0, x0 = (fh - ch) // 2, (fw - cw) // 2
         out = np.zeros((h, w, 3), np.uint8)
         out[:ch, :cw] = frame[y0 : y0 + ch, x0 : x0 + cw, :3]
+        return out, (ch, cw)
+
+    def _fit_frame_i420(
+        self, packed: np.ndarray
+    ) -> tuple[np.ndarray, tuple[int, int]]:
+        """Packed-plane analog of :meth:`_fit_frame`: copy Y/U/V subplanes
+        top-left into the mailbox's plane regions (even-aligned so the
+        chroma grid stays 2x2-consistent); padding is Y=0 / chroma=128
+        (black), which the traced source box keeps out of the crop."""
+        h, w = self.frame_hw
+        fh, fw = (packed.shape[0] * 2) // 3, packed.shape[1]
+        if (fh, fw) == (h, w):
+            return packed, (fh, fw)
+        ch, cw = min(h, fh) & ~1, min(w, fw) & ~1
+        y0, x0 = ((fh - ch) // 2) & ~1, ((fw - cw) // 2) & ~1
+        out = np.full((h * 3 // 2, w), 128, np.uint8)
+        out[:h] = 0
+        out[:ch, :cw] = packed[y0 : y0 + ch, x0 : x0 + cw]
+        src_u = packed[fh : fh + fh // 4].reshape(fh // 2, fw // 2)
+        src_v = packed[fh + fh // 4 :].reshape(fh // 2, fw // 2)
+        dst_u = out[h : h + h // 4].reshape(h // 2, w // 2)
+        dst_v = out[h + h // 4 :].reshape(h // 2, w // 2)
+        dst_u[: ch // 2, : cw // 2] = src_u[
+            y0 // 2 : (y0 + ch) // 2, x0 // 2 : (x0 + cw) // 2
+        ]
+        dst_v[: ch // 2, : cw // 2] = src_v[
+            y0 // 2 : (y0 + ch) // 2, x0 // 2 : (x0 + cw) // 2
+        ]
         return out, (ch, cw)
 
     def _src_box(self, in_hw, out_h: int, out_w: int) -> tuple[int, int, int, int]:
@@ -521,6 +621,7 @@ class Engine:
                 spec = FrameSpec(
                     batch=b * self.data_axis, height=height, width=width,
                     in_height=ih, in_width=iw, steps=s,
+                    in_format=self.input_format,
                 )
                 self._warm_spec(spec, ref_mode=False)
 
@@ -618,7 +719,7 @@ class Engine:
         import jax.numpy as jnp
 
         b = spec.batch
-        frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
+        frames = np.zeros((b, *self._mailbox_shape()), np.uint8)
         emb, pooled1 = self._encode_prompt("warmup")
         embeds = jnp.concatenate([emb] * b, axis=0)
         pooled = None
@@ -819,7 +920,7 @@ class Engine:
                 continue
             if not self.queue.has_fresh(sid):
                 continue
-            buf = np.empty((*self.frame_hw, 3), np.uint8)
+            buf = np.empty(self._mailbox_shape(), np.uint8)
             fid, ts = self.queue.take(sid, buf)
             if fid:
                 ready.append((st, buf, ts))
@@ -966,6 +1067,7 @@ class Engine:
             width=w,
             in_height=self.frame_hw[0],
             in_width=self.frame_hw[1],
+            in_format=self.input_format,
             steps=steps,
             use_controlnet=use_cn and not ref_mode,
         )
@@ -1063,7 +1165,7 @@ class Engine:
                         wtr.set_result(st.last_output)
                         st.last_reply = time.monotonic()
             return
-        frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
+        frames = np.zeros((b, *self._mailbox_shape()), np.uint8)
         ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         strength = np.full((b,), 0.6, np.float32)
         guidance = np.full((b,), 5.0, np.float32)
@@ -1085,7 +1187,7 @@ class Engine:
             if st.in_hw is not None:
                 src_box[i] = self._src_box(st.in_hw, spec.height, spec.width)
             if ref_mode and st.ref_frame is not None:
-                fitted, ext = self._fit_frame(st.ref_frame)
+                fitted, ext = self._fit_frame_rgb(st.ref_frame)
                 ref_frames[i] = fitted
                 ref_box[i] = self._src_box(
                     st.ref_hw or ext, spec.height, spec.width

@@ -117,7 +117,10 @@ class _PyQueue:
             if fid == 0 or fid == self._taken[stream]:
                 return 0, 0.0
             buf = np.frombuffer(self._slots[stream], np.uint8)
-            out.reshape(-1)[: len(buf)] = buf
+            # clamp: across a live input-format flip one stored frame may
+            # be larger than the new take buffer (native core clamps too)
+            n = min(len(buf), out.size)
+            out.reshape(-1)[:n] = buf[:n]
             self._taken[stream] = fid
             self.frames_out += 1
             return fid, self._ts[stream]

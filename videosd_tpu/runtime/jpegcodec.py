@@ -16,7 +16,13 @@ import threading
 
 import numpy as np
 
-__all__ = ["decode_rgb", "encode_rgb", "encode_i420", "native_available"]
+__all__ = [
+    "decode_rgb",
+    "decode_i420",
+    "encode_rgb",
+    "encode_i420",
+    "native_available",
+]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _SRC = os.path.join(_NATIVE_DIR, "jpegcodec.cpp")
@@ -48,6 +54,12 @@ def _load():
             lib = ctypes.CDLL(_SO)
             lib.jc_decode_rgb.restype = ctypes.c_int
             lib.jc_decode_rgb.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+                ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.jc_decode_i420.restype = ctypes.c_int
+            lib.jc_decode_i420.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
                 ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
@@ -145,6 +157,46 @@ def decode_rgb(data: bytes) -> np.ndarray:
     if rc != 0:
         return _pil_decode(data)
     return out[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def decode_i420(data: bytes) -> np.ndarray:
+    """JPEG bytes -> packed planar I420 ``[H*3//2, W]`` uint8.
+
+    For an i420-input engine: plain 4:2:0 JPEGs (what browsers/PIL emit
+    at /16-negotiated sizes) decode through libjpeg's raw-data path —
+    no YCbCr->RGB conversion, no chroma upsample on host; the device
+    unpacks inside the frame program.  Anything else (4:4:4, non-/16
+    dims, no native lib) decodes as RGB and host-packs, so callers
+    always receive the packed layout."""
+    lib = _load()
+    dims = _jpeg_dims(data) if lib is not None else None
+    if (
+        dims is not None
+        and 0 not in dims
+        and dims[0] * dims[1] <= _MAX_PIXELS
+        and dims[0] % 16 == 0
+        and dims[1] % 16 == 0
+    ):
+        out = _tls_buf("dec", dims[0] * dims[1] * 3 // 2)
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        rc = lib.jc_decode_i420(
+            data, len(data), out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+            ctypes.byref(h), ctypes.byref(w),
+        )
+        if rc == 0:
+            return (
+                out[: h.value * w.value * 3 // 2]
+                .reshape(h.value * 3 // 2, w.value)
+                .copy()
+            )
+    from videosd_tpu.ops.preprocess import rgb_to_i420_host
+
+    rgb = decode_rgb(data)
+    fh, fw = rgb.shape[:2]
+    if fh % 4 or fw % 2:  # pack needs chroma-grid alignment: trim edge
+        rgb = rgb[: fh - fh % 4, : fw - fw % 2]
+    return rgb_to_i420_host(rgb)
 
 
 def _pil_encode(rgb: np.ndarray, quality: int) -> bytes:

@@ -16,8 +16,16 @@
 //     h*w Y bytes, then (h/2)*(w/2) U, then V.  Skips libjpeg's RGB->
 //     YCbCr conversion AND its chroma downsampling pass entirely
 //     (jpeg_write_raw_data) — the device already did both.
+//   jc_decode_i420(data, len, out, out_cap, &h, &w) -> 0 ok / <0 error
+//     The camera-input counterpart: decodes a 4:2:0 JPEG straight into
+//     the packed planar layout (jpeg_read_raw_data) — no YCbCr->RGB
+//     conversion, no chroma upsample on host; the TPU unpacks inside the
+//     frame program (ops.i420_to_rgb255) and the upload is 1.5 B/pixel.
+//     Requires a 2x2/1x1/1x1-sampled JPEG with /16 dimensions (what
+//     browsers and PIL emit at the client's /16-negotiated sizes);
+//     returns -5 otherwise so the caller falls back to the RGB path.
 //
-// Both are one-shot (no persistent state) and thread-safe.
+// All entry points are one-shot (no persistent state) and thread-safe.
 
 #include <csetjmp>
 #include <cstdint>
@@ -75,6 +83,69 @@ int jc_decode_rgb(const uint8_t* data, size_t len, uint8_t* out,
   }
   *h = int(cinfo.output_height);
   *w = int(cinfo.output_width);
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+int jc_decode_i420(const uint8_t* data, size_t len, uint8_t* out,
+                   size_t out_cap, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = on_error;
+  jerr.pub.output_message = on_message;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;  // corrupt stream
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  const int H = int(cinfo.image_height), W = int(cinfo.image_width);
+  // raw read hands back whole iMCU rows (16 luma rows) at block-padded
+  // widths; /16 dims keep those exactly equal to our tightly-packed
+  // planes, so rows can point straight into the output buffer
+  if (cinfo.num_components != 3 || H % 16 || W % 16 ||
+      cinfo.comp_info[0].h_samp_factor != 2 ||
+      cinfo.comp_info[0].v_samp_factor != 2 ||
+      cinfo.comp_info[1].h_samp_factor != 1 ||
+      cinfo.comp_info[1].v_samp_factor != 1 ||
+      cinfo.comp_info[2].h_samp_factor != 1 ||
+      cinfo.comp_info[2].v_samp_factor != 1) {
+    jpeg_destroy_decompress(&cinfo);
+    return -5;  // not plain 4:2:0 — caller falls back to RGB decode
+  }
+  if (size_t(H) * W * 3 / 2 > out_cap) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  cinfo.raw_data_out = TRUE;
+  cinfo.do_fancy_upsampling = FALSE;  // no upsampling happens anyway
+  jpeg_start_decompress(&cinfo);
+  uint8_t* Y = out;
+  uint8_t* U = out + size_t(H) * W;
+  uint8_t* V = U + size_t(H / 2) * (W / 2);
+  JSAMPROW yrows[16], urows[8], vrows[8];
+  JSAMPARRAY planes[3] = {yrows, urows, vrows};
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int base = int(cinfo.output_scanline);
+    for (int i = 0; i < 16; ++i)
+      yrows[i] = Y + size_t(base + i) * W;
+    for (int i = 0; i < 8; ++i) {
+      urows[i] = U + size_t(base / 2 + i) * (W / 2);
+      vrows[i] = V + size_t(base / 2 + i) * (W / 2);
+    }
+    if (jpeg_read_raw_data(&cinfo, planes, 16) == 0) {
+      jpeg_destroy_decompress(&cinfo);
+      return -6;  // suspension (should not happen with mem source)
+    }
+  }
+  *h = H;
+  *w = W;
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return 0;

@@ -113,6 +113,10 @@ def _jpeg_decode(data: bytes, engine: Engine) -> np.ndarray:
     from videosd_tpu.runtime import jpegcodec
 
     with engine.telemetry.stages.time("jpeg_decode"):
+        if engine.input_format == "i420":
+            # raw 4:2:0 decode: no host colorspace/upsample work, and the
+            # packed upload is half the bytes (engine unpacks on device)
+            return jpegcodec.decode_i420(data)
         return jpegcodec.decode_rgb(data)
 
 
@@ -314,13 +318,16 @@ async def profile_handler(request: web.Request) -> web.Response:
 
 
 async def debug_engine_handler(request: web.Request) -> web.Response:
-    """Runtime engine knobs: POST {"output_format": "rgb"|"i420"}.
+    """Runtime engine knobs: POST {"output_format": ..., "input_format":
+    "rgb"|"i420"}.
 
-    Ops aid for A/B-ing the output wire format live (no reboot, no
-    recompile of the frame programs — the I420 pack is a separate tiny
-    jit and every downstream consumer branches per-frame on the packed
-    vs RGB layout, so mid-flight streams mix formats safely).  GET
-    returns the current values."""
+    Ops aid for A/B-ing the wire formats live (no reboot).  The output
+    flip is free — the I420 pack is a separate tiny jit and every
+    consumer branches per-frame on the packed vs RGB layout.  The input
+    flip re-keys the frame-program specs: the first bucket in the new
+    layout background-compiles while streams get passthrough frames
+    (same compile-stall-avoidance as any cold bucket).  GET returns the
+    current values."""
     engine: Engine = request.app["engine"]
     if request.method == "POST":
         try:
@@ -336,7 +343,18 @@ async def debug_engine_handler(request: web.Request) -> web.Response:
                     status=400,
                 )
             engine.output_format = fmt
-    return web.json_response({"output_format": engine.output_format})
+        in_fmt = body.get("input_format")
+        if in_fmt is not None:
+            try:
+                engine.set_input_format(in_fmt)
+            except ValueError as e:
+                return web.json_response({"error": str(e)}, status=400)
+    return web.json_response(
+        {
+            "output_format": engine.output_format,
+            "input_format": engine.input_format,
+        }
+    )
 
 
 async def debug_memory_handler(request: web.Request) -> web.Response:
@@ -409,6 +427,7 @@ async def _on_startup(app: web.Application):
             spec = FrameSpec(
                 batch=b * engine.data_axis, height=h, width=w,
                 in_height=ih, in_width=iw, steps=4,
+                in_format=engine.input_format,
             )
             engine._compile_spec_background(loop, spec, ref_mode=False)
     app["watchdog_task"] = asyncio.get_running_loop().create_task(watchdog(app))

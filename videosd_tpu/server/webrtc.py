@@ -52,7 +52,16 @@ class VideoSDTrack(MediaStreamTrack):
 
     async def recv(self):
         frame = await self.track.recv()
-        arr = frame.to_ndarray(format="rgb24")
+        # an i420-input engine takes the decoder's native planar layout
+        # directly — no host YUV->RGB conversion (the reference pays one
+        # per frame inside frame.to_image(), server.py:108), and the
+        # host->device upload is half the bytes
+        if self.engine.input_format == "i420" and frame.width % 2 == 0 and (
+            frame.height % 4 == 0
+        ):
+            arr = frame.to_ndarray(format="yuv420p")
+        else:
+            arr = frame.to_ndarray(format="rgb24")
 
         # fire-and-collect: submit the newest frame; the engine's mailbox
         # drops stale ones (reference drop semantics, server.py:140-143)
