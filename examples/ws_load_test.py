@@ -23,11 +23,15 @@ import time
 import numpy as np
 
 
-def make_frames(size: int, n: int = 16, *, raw: bool = False) -> list[bytes]:
+def make_frames(
+    size: int, n: int = 16, *, raw: bool = False, raw_i420: bool = False
+) -> list[bytes]:
     """Pre-encoded camera frames (synthetic moving gradient).
 
     ``raw``: RGB24 with the WS transport's 4-byte {u16 h, u16 w} header
-    instead of JPEG — isolates the codec's contribution on localhost/LAN."""
+    instead of JPEG — isolates the codec's contribution on localhost/LAN.
+    ``raw_i420``: same header but packed planar 4:2:0 payload (half the
+    upload bytes; the layout an i420-input engine consumes natively)."""
     import struct
 
     from PIL import Image
@@ -37,7 +41,13 @@ def make_frames(size: int, n: int = 16, *, raw: bool = False) -> list[bytes]:
     frames = []
     for i in range(n):
         img = np.roll(base, shift=i * size // n, axis=1)
-        if raw:
+        if raw_i420:
+            from videosd_tpu.ops.preprocess import rgb_to_i420_host
+
+            frames.append(
+                struct.pack("<HH", size, size) + rgb_to_i420_host(img).tobytes()
+            )
+        elif raw:
             frames.append(struct.pack("<HH", size, size) + img.tobytes())
         else:
             buf = io.BytesIO()
@@ -104,9 +114,15 @@ async def main():
     ap.add_argument("--warmup-seconds", type=float, default=8.0)
     ap.add_argument("--inflight", type=int, default=1)
     ap.add_argument("--raw", action="store_true", help="RGB24 frames (no JPEG)")
+    ap.add_argument(
+        "--raw-i420",
+        action="store_true",
+        help="packed planar 4:2:0 frames (raw, half the upload bytes)",
+    )
     args = ap.parse_args()
+    args.raw = args.raw or args.raw_i420
 
-    frames = make_frames(args.size, raw=args.raw)
+    frames = make_frames(args.size, raw=args.raw, raw_i420=args.raw_i420)
     results: dict = {}
     # short warmup pass so compile/ramp effects don't pollute the window
     await asyncio.gather(

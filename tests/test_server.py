@@ -168,6 +168,56 @@ def test_ws_jpeg_roundtrip(rng):
     asyncio.run(run())
 
 
+def test_ws_raw_i420_upload(rng):
+    """Raw packed-I420 WS uploads (h*w*3/2 payload): accepted by both
+    engine modes — an rgb engine host-unpacks, an i420 engine consumes
+    the packed layout natively; wrong sizes still error."""
+    from videosd_tpu.ops.preprocess import rgb_to_i420_host
+
+    async def run_mode(input_format: str):
+        from videosd_tpu.server.app import create_app
+
+        engine = _tiny_engine()
+        if input_format == "i420":
+            engine.set_input_format("i420")
+        app = create_app(ServerConfig(input_format=input_format), engine=engine)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect("/ws")
+            await ws.send_str(
+                json.dumps(
+                    {
+                        "type": "init",
+                        "options": {"height": 32, "width": 32, "steps": 1},
+                    }
+                )
+            )
+            img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            packed = rgb_to_i420_host(img)
+            await ws.send_bytes(struct.pack("<HH", 32, 32) + packed.tobytes())
+            msg = await asyncio.wait_for(ws.receive(), timeout=180)
+            assert msg.type.name == "BINARY"
+            h, w = struct.unpack("<HH", msg.data[:4])
+            assert (h, w) == (32, 32)
+            st = next(iter(engine.streams.values()))
+            assert st.in_hw == (32, 32)
+            assert st.ref_frame.ndim == 3  # ref is RGB either way
+
+            # packed payload with misaligned dims -> error, conn stays up
+            await ws.send_bytes(
+                struct.pack("<HH", 30, 32) + b"\x00" * (30 * 32 * 3 // 2)
+            )
+            emsg = await asyncio.wait_for(ws.receive_json(), timeout=30)
+            assert emsg["type"] == "error"
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.run(run_mode("rgb"))
+    asyncio.run(run_mode("i420"))
+
+
 def test_ws_bad_frame_size():
     async def run():
         client = await _make_client()

@@ -142,11 +142,14 @@ async def ws_handler(request: web.Request) -> web.WebSocketResponse:
       client -> text JSON {"type":"init","options":{...}}
       client -> text JSON {"type":"prompt", ...changed keys...}   (same as
                 the "prompt" data channel, server.py:166-197)
-      client -> binary: u16 height, u16 width, raw RGB24 frame
-                OR a JPEG blob (detected by the FFD8 SOI marker) — raw
-                RGB24 at 512x512x15fps is ~12 MB/s, impractical beyond
-                localhost; JPEG brings it to ~1 MB/s (the reference's
-                WebRTC transport used VP8 for the same reason)
+      client -> binary: u16 height, u16 width, raw RGB24 frame (h*w*3
+                payload bytes) OR raw packed planar I420 (h*w*3/2 bytes,
+                half the upload — Y plane then 2x2-subsampled U, V; needs
+                h%4==0 and w%2==0) OR a JPEG blob (detected by the FFD8
+                SOI marker) — raw RGB24 at 512x512x15fps is ~12 MB/s,
+                impractical beyond localhost; I420 halves that; JPEG
+                brings it to ~1 MB/s (the reference's WebRTC transport
+                used VP8 for the same reason)
       server -> binary: u16 height, u16 width, raw RGB24 diffused frame,
                 OR a JPEG blob when the stream option "jpeg" is truthy
       client -> text JSON {"type":"record","action":"start"|"stop"}
@@ -248,12 +251,23 @@ async def ws_handler(request: web.Request) -> web.WebSocketResponse:
                 else:
                     h, w = struct.unpack("<HH", msg.data[:4])
                     frame = np.frombuffer(msg.data[4:], np.uint8)
-                    if frame.size != h * w * 3:
+                    if frame.size == h * w * 3:
+                        frame = frame.reshape(h, w, 3)
+                    elif frame.size == h * w * 3 // 2 and h % 4 == 0 and w % 2 == 0:
+                        # packed planar I420 upload (half the bytes).  The
+                        # engine's mailbox fit accepts either layout; for
+                        # an rgb-input engine unpack on host so the frame
+                        # program's spec stays layout-stable.
+                        frame = frame.reshape(h * 3 // 2, w)
+                        if engine.input_format != "i420":
+                            from videosd_tpu.ops.preprocess import i420_to_rgb_host
+
+                            frame = i420_to_rgb_host(frame)
+                    else:
                         await ws.send_json(
                             {"type": "error", "error": "bad frame size"}
                         )
                         continue
-                    frame = frame.reshape(h, w, 3)
                 while len(frame_tasks) >= 4:  # bound per-connection backlog
                     await asyncio.wait(
                         set(frame_tasks), return_when=asyncio.FIRST_COMPLETED
