@@ -122,6 +122,38 @@ def test_style_fidelity_interpolates_monotonically(bundle, embeds, rng):
     assert d[0] < d[1] < d[2], d  # and the pull grows with sf
 
 
+def test_independent_attn_adain_toggles(bundle, embeds, rng):
+    """The reference exposes ``reference_attn`` and ``reference_adain`` as
+    independent booleans (lcm_reference_pipeline.py:426-427).  Traced
+    form: style_fidelity as [B, 2] (attn fidelity, adain fidelity).
+    Each mechanism alone must change the output, differently from the
+    other; both at 0 must reduce to the [B]-form sf=0 (plain) output;
+    both at 1 must equal the [B]-form sf=1 output."""
+    prog = build_reference_program(bundle, SPEC)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    ref = jnp.asarray(np.full((1, 32, 32, 3), 255, np.uint8))
+    strength, guidance, _, seed = _opts()
+
+    def run(attn_sf, adain_sf):
+        sf2 = jnp.array([[attn_sf, adain_sf]], jnp.float32)
+        out, _ = prog(bundle.params, frame, ref, embeds, strength, guidance, sf2, seed)
+        return np.asarray(out).astype(np.float64)
+
+    both_off = run(0.0, 0.0)
+    attn_only = run(1.0, 0.0)
+    adain_only = run(0.0, 1.0)
+    both_on = run(1.0, 1.0)
+
+    out_plain, _ = prog(bundle.params, frame, ref, embeds, *_opts(0.0))
+    out_full, _ = prog(bundle.params, frame, ref, embeds, *_opts(1.0))
+    np.testing.assert_array_equal(both_off, np.asarray(out_plain).astype(np.float64))
+    np.testing.assert_array_equal(both_on, np.asarray(out_full).astype(np.float64))
+
+    assert np.abs(attn_only - both_off).max() > 0
+    assert np.abs(adain_only - both_off).max() > 0
+    assert np.abs(attn_only - adain_only).max() > 0
+
+
 def test_reference_program_sdxl_family(rng):
     """text_time micro-conditioning threads through both UNet passes."""
     xb = ModelBundle.random("tiny-xl", dtype=jnp.float32, with_controlnet=False)

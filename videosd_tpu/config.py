@@ -40,6 +40,8 @@ _OPTION_COERCIONS = {
     "guidance_scale": float,
     "controlnet_scale": float,
     "style_fidelity": float,
+    "reference_attn": bool,
+    "reference_adain": bool,
     "seed": int,
     "ref": bool,
     "controlnet": bool,
@@ -62,6 +64,10 @@ _OPTION_DEFAULTS = {
     "seed": 23,
     "ref": False,
     "style_fidelity": 1.0,
+    # independent mechanism toggles (lcm_reference_pipeline.py:426-427);
+    # traced as per-mechanism fidelities, so flips never recompile
+    "reference_attn": True,
+    "reference_adain": True,
     "controlnet": True,
     "controlnet_scale": 2.0,
     "width": 512,

@@ -163,7 +163,16 @@ def reference_frame_program(
         )
     context = prompt_embeds.astype(dtype)
     denoised = latents0
-    sf = style_fidelity[:, None, None]  # blend over [B, tokens, ch]
+    # style_fidelity: [B] (one blend for both mechanisms) or [B, 2] with
+    # per-element (attention fidelity, adain fidelity) — the traced form
+    # of the reference's independent ``reference_attn``/``reference_adain``
+    # booleans (lcm_reference_pipeline.py:426-427): a disabled mechanism is
+    # fidelity 0, which reduces that branch exactly to the plain program.
+    if style_fidelity.ndim == 2:
+        sf_attn, sf_adain = style_fidelity[:, 0], style_fidelity[:, 1]
+    else:
+        sf_attn = sf_adain = style_fidelity
+    sf = sf_attn[:, None, None]  # blend over [B, tokens, ch]
 
     # SDXL text_time micro-conditioning (same as lcm_img2img.frame_program)
     added_cond = None
@@ -212,7 +221,7 @@ def reference_frame_program(
 
         # READ pass on the actual latents
         adain_r = AdainBank(
-            "read", stats=adain_w.stats, fidelity=style_fidelity[:, None, None, None]
+            "read", stats=adain_w.stats, fidelity=sf_adain[:, None, None, None]
         )
         eps = unet_apply(
             params["unet"],

@@ -644,6 +644,10 @@ class Engine:
             ),
             (spec.batch, 1),
         )
+        if ref_mode:
+            # serving packs a [B, 2] (attn, adain) fidelity pair in ref
+            # mode — warm with the same signature
+            cn = np.ones((spec.batch, 2), np.float32)
         self._run_bucket_sync(
             spec, ref_mode, frames, frames, embeds, strength, guidance, cn, seed,
             None if ref_mode else warm_lat,
@@ -1169,7 +1173,12 @@ class Engine:
         ref_frames = np.zeros((b, *self.frame_hw, 3), np.uint8)
         strength = np.full((b,), 0.6, np.float32)
         guidance = np.full((b,), 5.0, np.float32)
-        scale = np.full((b,), 2.0, np.float32)  # cn scale OR fidelity
+        if ref_mode:
+            # [B, 2]: (attention fidelity, adain fidelity) — the traced
+            # form of the reference_attn/reference_adain booleans
+            scale = np.ones((b, 2), np.float32)
+        else:
+            scale = np.full((b,), 2.0, np.float32)  # controlnet scale
         seed = np.zeros((b,), np.int32)
         # per-element source rectangles: true camera extent -> on-device
         # center-crop parity with the reference at ANY negotiated size
@@ -1194,11 +1203,12 @@ class Engine:
                 )
             strength[i] = float(st.options["strength"])
             guidance[i] = float(st.options["guidance_scale"])
-            scale[i] = float(
-                st.options["style_fidelity"]
-                if ref_mode
-                else st.options["controlnet_scale"]
-            )
+            if ref_mode:
+                sf = float(st.options["style_fidelity"])
+                scale[i, 0] = sf if st.options.get("reference_attn", True) else 0.0
+                scale[i, 1] = sf if st.options.get("reference_adain", True) else 0.0
+            else:
+                scale[i] = float(st.options["controlnet_scale"])
             seed[i] = int(st.options["seed"])
             wa = float(st.options.get("warm_alpha", 0.0) or 0.0)
             if (
