@@ -120,6 +120,57 @@ def test_engine_single_stream_end_to_end(rng):
     asyncio.run(run())
 
 
+def test_engine_live_weight_swap(rng):
+    """swap_params under live serving: same-shape params swap atomically
+    with zero recompiles and change the output; mismatched trees are
+    rejected before anything mutates."""
+    import jax
+
+    async def run():
+        eng = _mk_engine()
+        eng.start()
+        try:
+            st = eng.open_stream(
+                {"height": 32, "width": 32, "steps": 1, "seed": 7}
+            )
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            out_a = await _first_real(eng, st, frame)
+            compiled = len(eng._programs)
+
+            # perturb every unet tensor (same shapes/dtypes): a valid swap
+            new_params = dict(eng.bundle.params)
+            new_params["unet"] = jax.tree_util.tree_map(
+                lambda x: x * 1.05, eng.bundle.params["unet"]
+            )
+            eng.swap_params(new_params, source="perturbed")
+            assert eng.weights_source == "perturbed"
+            assert len(eng._prompt_cache) == 0  # text tower may have changed
+
+            out_b = await _first_real(eng, st, frame)
+            assert out_b.shape == out_a.shape
+            assert np.abs(
+                out_b.astype(np.int32) - out_a.astype(np.int32)
+            ).max() > 0, "swap did not change the serving weights"
+            assert len(eng._programs) == compiled  # zero recompiles
+
+            # wrong structure -> rejected, serving params untouched
+            with pytest.raises(ValueError):
+                eng.swap_params({"unet": new_params["unet"]})
+            # wrong shape -> rejected
+            bad = dict(new_params)
+            bad["unet"] = jax.tree_util.tree_map(
+                lambda x: np.zeros((2, 2), np.float32), new_params["unet"]
+            )
+            with pytest.raises(ValueError):
+                eng.swap_params(bad)
+            out_c = await _first_real(eng, st, frame)
+            np.testing.assert_array_equal(out_c, out_b)  # still serving B
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
+
+
 def test_engine_sdxl_family_serving(rng):
     """SDXL-topology bundles serve through the engine: pooled embeds from
     the prompt cache reach the text_time program."""

@@ -168,6 +168,142 @@ def test_ws_jpeg_roundtrip(rng):
     asyncio.run(run())
 
 
+def test_reload_weights_endpoint(tmp_path, monkeypatch):
+    """Live checkpoint hot-swap endpoint: bad asks 400 without touching
+    the engine; a good ask loads off-loop and swaps the serving params."""
+    import dataclasses as dc
+
+    import jax
+
+    async def run():
+        from videosd_tpu.pipelines import lcm_img2img as L
+        from videosd_tpu.server.app import create_app
+
+        engine = _tiny_engine()
+        old_params = engine.bundle.params
+        app = create_app(ServerConfig(), engine=engine)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.get("/reload_weights")
+            assert (await r.json())["weights_source"] is None
+
+            r = await client.post("/reload_weights", json={"weights": "/no/such/dir"})
+            assert r.status == 400
+            assert engine.bundle.params is old_params
+
+            r = await client.post("/reload_weights", data=b"not json")
+            assert r.status == 400
+
+            # success path: fake loader returns a perturbed same-shape tree
+            snapdir = tmp_path / "ckpt"
+            snapdir.mkdir()
+            perturbed = dc.replace(
+                engine.bundle,
+                params=jax.tree_util.tree_map(
+                    lambda x: x * 1.01, engine.bundle.params
+                ),
+            )
+            monkeypatch.setattr(
+                L.ModelBundle,
+                "from_pretrained",
+                classmethod(lambda cls, *a, **k: perturbed),
+            )
+            r = await client.post(
+                "/reload_weights", json={"weights": str(snapdir)}
+            )
+            body = await r.json()
+            assert r.status == 200 and body["swapped"] is True
+            assert body["weights_source"]["model_dir"] == str(snapdir)
+            # the graft rebuilds containers but must carry the new leaves
+            np.testing.assert_array_equal(
+                np.asarray(engine.bundle.params["clip"]["final_layer_norm"]["scale"]),
+                np.asarray(perturbed.params["clip"]["final_layer_norm"]["scale"]),
+            )
+            assert engine.weights_source["model_dir"] == str(snapdir)
+            r = await client.get("/stats")
+            assert (await r.json())["weights_source"]["model_dir"] == str(snapdir)
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+def test_reload_weights_live_swap_from_checkpoint(tmp_path, rng):
+    """Full hot-swap path with a REAL fixture checkpoint: export the tiny
+    bundle perturbed through the io.weights plans into a diffusers-layout
+    dir, serve a frame, POST /reload_weights, and the NEXT frame comes
+    from the new weights — zero dropped frames, zero recompiles.  This
+    exercises the from_pretrained conversion inside the handler (which
+    drops structurally-empty init keys — the swap grafts by leaf path)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from videosd_tpu.io import weights as W
+    from videosd_tpu.io.safetensors import write_safetensors
+    from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+    from videosd_tpu.runtime.engine import Engine
+
+    async def run():
+        from videosd_tpu.server.app import create_app
+
+        bundle = ModelBundle.random("tiny", dtype=jnp.float32)
+        for sub, plan, params in (
+            ("unet", W.unet_plan(bundle.unet_cfg), bundle.params["unet"]),
+            ("text_encoder", W.clip_plan(bundle.clip_cfg), bundle.params["clip"]),
+        ):
+            os.makedirs(tmp_path / sub)
+            sd = W.export(jax.tree_util.tree_map(lambda x: x * 1.07, params), plan)
+            write_safetensors(
+                str(tmp_path / sub / "model.safetensors"),
+                {k: np.asarray(v, np.float32) for k, v in sd.items()},
+            )
+
+        cfg = ServerConfig(family="tiny", dtype="float32")
+        engine = Engine(cfg, bundle=bundle, max_streams=2, frame_hw=(32, 32))
+        app = create_app(cfg, engine=engine)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect("/ws")
+            await ws.send_str(
+                json.dumps(
+                    {
+                        "type": "init",
+                        "options": {"height": 32, "width": 32, "steps": 1, "seed": 5},
+                    }
+                )
+            )
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+
+            async def real_reply():
+                for _ in range(400):
+                    before = engine.telemetry.frames_out
+                    await ws.send_bytes(struct.pack("<HH", 32, 32) + frame.tobytes())
+                    msg = await asyncio.wait_for(ws.receive(), timeout=300)
+                    out = np.frombuffer(msg.data[4:], np.uint8).reshape(32, 32, 3)
+                    if engine.telemetry.frames_out > before and out.std() > 0:
+                        return out
+                    await asyncio.sleep(0.2)
+                raise TimeoutError("no real generation")
+
+            out_a = await real_reply()
+            compiled = len(engine._programs)
+            r = await client.post("/reload_weights", json={"weights": str(tmp_path)})
+            body = await r.json()
+            assert r.status == 200 and body["swapped"], body
+            out_b = await real_reply()
+            assert np.abs(out_b.astype(int) - out_a.astype(int)).max() > 0
+            assert len(engine._programs) == compiled
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
 def test_ws_raw_i420_upload(rng):
     """Raw packed-I420 WS uploads (h*w*3/2 payload): accepted by both
     engine modes — an rgb engine host-unpacks, an i420 engine consumes

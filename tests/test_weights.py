@@ -143,3 +143,48 @@ def test_safetensors_bf16(tmp_path):
         f.write(u16.tobytes())
     back = read_safetensors(str(p))
     np.testing.assert_array_equal(back["x"], arr)
+
+
+# ------------------------------------------------------------- discovery
+
+
+def test_find_snapshot_and_resolve_weights(tmp_path):
+    """Local HF-cache discovery: newest snapshot wins; the `weights`
+    config settings map to (random -> None, auto -> best-effort,
+    explicit -> loud failure)."""
+    import os
+    import time
+
+    import pytest
+
+    from videosd_tpu.io.discovery import find_snapshot, resolve_weights
+
+    cache = tmp_path / "hub"
+    old = cache / "models--a--b" / "snapshots" / "oldsnap"
+    new = cache / "models--a--b" / "snapshots" / "newsnap"
+    old.mkdir(parents=True)
+    new.mkdir(parents=True)
+    past = time.time() - 1000
+    os.utime(old, (past, past))
+
+    assert find_snapshot("a/b", str(cache)) == str(new)
+    assert find_snapshot("missing/repo", str(cache)) is None
+    assert find_snapshot(None, str(cache)) is None
+
+    assert resolve_weights("a/b", setting="random", cache=str(cache)) is None
+    r = resolve_weights(
+        "a/b", controlnet="missing/cn", taesd="missing/taesd",
+        setting="auto", cache=str(cache),
+    )
+    assert r["model_dir"] == str(new)
+    assert r["controlnet_dir"] is None and r["taesd_dir"] is None
+    # auto with no model snapshot -> None (caller random-inits loudly)
+    assert resolve_weights("missing/repo", setting="auto", cache=str(cache)) is None
+    # explicit directory -> verbatim; explicit repo id -> cache lookup
+    r2 = resolve_weights(None, setting=str(new), cache=str(cache))
+    assert r2["model_dir"] == str(new)
+    r3 = resolve_weights(None, setting="a/b", cache=str(cache))
+    assert r3["model_dir"] == str(new)
+    # explicit miss must fail loudly, never silently degrade
+    with pytest.raises(FileNotFoundError):
+        resolve_weights(None, setting="no/such-repo", cache=str(cache))

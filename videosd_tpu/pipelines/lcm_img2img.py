@@ -223,17 +223,27 @@ class ModelBundle:
         controlnet_dir: str | None = None,
         taesd_dir: str | None = None,
         dtype=jnp.bfloat16,
+        with_controlnet: bool | None = None,
     ) -> "ModelBundle":
         """Load a diffusers-layout checkpoint directory (local HF snapshot:
         unet/ vae/ text_encoder/ tokenizer/ subdirs), converting torch
         tensors via the io.weights plans.  The same checkpoints the
         reference pulls at actor start (videopipeline.py:49-72), minus the
         hub download (zero-egress: the cache must be mounted).
+
+        ``with_controlnet=True`` keeps a random-init ControlNet even when
+        ``controlnet_dir`` is None — a safe no-op (its output convs are
+        zero at init), so serving engines can still build ControlNet
+        programs when only the base model is cached.
         """
         from videosd_tpu.io import weights as W
 
+        if with_controlnet is None:
+            with_controlnet = controlnet_dir is not None
         # copy the (possibly cached/shared) random bundle before mutating
-        bundle = dataclasses.replace(cls.random(family, dtype=dtype, with_controlnet=False))
+        bundle = dataclasses.replace(
+            cls.random(family, dtype=dtype, with_controlnet=with_controlnet)
+        )
         params = dict(bundle.params)
         params["unet"] = W.load_model_dir(
             model_dir, "unet", W.unet_plan(bundle.unet_cfg), dtype

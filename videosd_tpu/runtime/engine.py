@@ -102,6 +102,9 @@ class Engine:
 
         _setup_compile_cache()
         self._bundle = bundle
+        # provenance of the serving weights (None = random init); set by
+        # the bundle resolver and swap_params, surfaced via /stats
+        self.weights_source: dict | str | None = None
         self.max_streams = max_streams
         self.max_batch = max_batch
         self.deadline_s = (
@@ -199,10 +202,112 @@ class Engine:
 
             from videosd_tpu.pipelines.lcm_img2img import ModelBundle
 
+            log = logging.getLogger("videosd_tpu.engine")
             family = self.config.family
             dtype = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
-            self._bundle = ModelBundle.random(family, dtype=dtype)
+            # config `weights` (reference loads at actor start,
+            # videopipeline.py:49-72): "auto" discovers the configured
+            # repos in the local HF cache, a path/repo-id is an explicit
+            # ask, "random" skips.  Auto falls back to random init LOUDLY.
+            resolved = None
+            setting = str(getattr(self.config, "weights", "random") or "random")
+            if setting.lower() != "random" and not family.startswith("tiny"):
+                from videosd_tpu.io.discovery import resolve_weights
+
+                resolved = resolve_weights(
+                    getattr(self.config, "model", None),
+                    controlnet=getattr(self.config, "controlnet", None),
+                    setting=setting,
+                )
+            if resolved is not None:
+                log.info(
+                    "loading checkpoint: model=%s controlnet=%s taesd=%s",
+                    resolved["model_dir"],
+                    resolved["controlnet_dir"],
+                    resolved["taesd_dir"],
+                )
+                self._bundle = ModelBundle.from_pretrained(
+                    resolved["model_dir"],
+                    family=family,
+                    controlnet_dir=resolved["controlnet_dir"],
+                    taesd_dir=resolved["taesd_dir"],
+                    dtype=dtype,
+                    with_controlnet=True,
+                )
+                self.weights_source = resolved
+            else:
+                if setting.lower() == "auto":
+                    log.info(
+                        "weights: auto found no cached snapshot of %r — "
+                        "serving RANDOM-INIT weights",
+                        getattr(self.config, "model", None),
+                    )
+                self._bundle = ModelBundle.random(family, dtype=dtype)
+                self.weights_source = None
         return self._bundle
+
+    def swap_params(self, params: dict, *, source: str | None = None) -> None:
+        """Atomically swap model params under live serving — zero dropped
+        frames, zero recompiles (beyond the reference, whose actors must
+        restart to change checkpoints).
+
+        The new tree must match the serving bundle exactly in structure,
+        shapes and dtypes — programs are keyed by spec and take params as
+        an argument, so a same-shape swap is safe by construction: the
+        in-flight batch finishes on the old weights, the next packed batch
+        reads the new dict.  The prompt cache clears (the text tower
+        changed) and per-stream fades reset; streams re-encode their
+        prompts on the next tick via the dispatcher pre-encode path.
+        """
+        import jax
+
+        # graft the new leaves into the SERVING treedef by path: programs
+        # were traced against the serving tree's structure, so the swapped
+        # dict must keep it exactly (jit caches on pytree structure) —
+        # and converted checkpoints legitimately omit keys that random
+        # init creates structurally empty (see io/weights.py note), so
+        # matching leaves-by-path is the correct equivalence, not treedef
+        # equality.
+        cur_paths = jax.tree_util.tree_flatten_with_path(self.bundle.params)[0]
+        cur_def = jax.tree_util.tree_structure(self.bundle.params)
+        new_by_path = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+        missing = [p for p, _ in cur_paths if p not in new_by_path]
+        extra = set(new_by_path) - {p for p, _ in cur_paths}
+        if missing or extra:
+            raise ValueError(
+                f"param tree differs from the serving bundle: "
+                f"{len(missing)} serving tensors missing from the new tree "
+                f"(first: {missing[:2]}), {len(extra)} unknown"
+            )
+        bad = [
+            p
+            for p, a in cur_paths
+            if tuple(a.shape) != tuple(new_by_path[p].shape)
+            or str(a.dtype) != str(new_by_path[p].dtype)
+        ]
+        if bad:
+            raise ValueError(
+                f"{len(bad)}/{len(cur_paths)} tensors differ in shape/dtype "
+                f"from the serving bundle (first: {bad[:2]}; same family + "
+                "dtype required for a zero-recompile swap)"
+            )
+        params = jax.tree_util.tree_unflatten(
+            cur_def, [new_by_path[p] for p, _ in cur_paths]
+        )
+        if self.mesh is not None:
+            from videosd_tpu.parallel.mesh import shard_params
+
+            # device_put transfer only (no executions): placing the new
+            # params before publishing keeps self.params always consistent
+            self._mesh_params = shard_params(params, self.mesh)
+        self.bundle.params = params
+        self._prompt_cache.clear()
+        for st in self.streams.values():
+            st.current_emb = None
+            st.blend_from = None
+            st.blend_left = 0
+            st._last_prompt = None
+        self.weights_source = source
 
     @property
     def mesh(self):
@@ -1322,4 +1427,5 @@ class Engine:
             if self.mesh is not None
             else {"data": 1, "model": 1}
         )
+        s["weights_source"] = self.weights_source  # None = random init
         return s

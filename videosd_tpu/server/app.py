@@ -371,6 +371,65 @@ async def debug_engine_handler(request: web.Request) -> web.Response:
     )
 
 
+async def reload_weights_handler(request: web.Request) -> web.Response:
+    """Live checkpoint hot-swap: POST {"weights": "auto"|<dir>|<repo-id>,
+    "controlnet": optional, "taesd": optional}.
+
+    Loads the checkpoint off the event loop, then atomically swaps the
+    serving params — zero dropped frames, zero recompiles (same family +
+    dtype required; the engine rejects shape/dtype mismatches).  The
+    reference must restart its Ray actors to change checkpoints; here the
+    in-flight batch finishes on the old weights and the next batch runs
+    the new ones.  GET returns the current weights provenance."""
+    engine: Engine = request.app["engine"]
+    if request.method != "POST":
+        return web.json_response({"weights_source": engine.weights_source})
+    try:
+        body = await request.json()
+    except Exception:
+        return web.json_response({"error": "invalid JSON"}, status=400)
+    setting = str(body.get("weights", "auto"))
+    cfg = request.app["config"]
+
+    def load():
+        import jax.numpy as jnp
+
+        from videosd_tpu.io.discovery import resolve_weights
+        from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+
+        resolved = resolve_weights(
+            body.get("model", getattr(cfg, "model", None)),
+            controlnet=body.get("controlnet", getattr(cfg, "controlnet", None)),
+            setting=setting,
+        )
+        if resolved is None:
+            raise FileNotFoundError(
+                f"weights: {setting!r} resolved to no checkpoint"
+            )
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        loaded = ModelBundle.from_pretrained(
+            resolved["model_dir"],
+            family=cfg.family,
+            controlnet_dir=resolved["controlnet_dir"],
+            taesd_dir=body.get("taesd", resolved["taesd_dir"]),
+            dtype=dtype,
+            with_controlnet=True,
+        )
+        return loaded.params, resolved
+
+    try:
+        params, resolved = await asyncio.get_running_loop().run_in_executor(
+            None, load
+        )
+        engine.swap_params(params, source=resolved)
+    except (FileNotFoundError, ValueError) as e:
+        return web.json_response({"error": str(e)}, status=400)
+    except Exception:
+        logger.exception("weight reload failed")
+        return web.json_response({"error": "load failed (see logs)"}, status=500)
+    return web.json_response({"swapped": True, "weights_source": resolved})
+
+
 async def debug_memory_handler(request: web.Request) -> web.Response:
     """Host-memory introspection: ?action=start|top|stop (tracemalloc).
 
@@ -469,6 +528,7 @@ def create_app(config: ServerConfig | None = None, *, engine: Engine | None = No
     app.router.add_post("/profile", profile_handler)
     app.router.add_get("/debug/memory", debug_memory_handler)
     app.router.add_route("*", "/debug/engine", debug_engine_handler)
+    app.router.add_route("*", "/reload_weights", reload_weights_handler)
 
     # serve the bundled static client at / when present (production deploys
     # put nginx in front instead, like the reference's frontend container)

@@ -26,23 +26,10 @@ import sys
 
 import numpy as np
 
+from videosd_tpu.io.discovery import find_snapshot  # noqa: E402  (shared)
+
 DEFAULT_MODEL = "SimianLuo/LCM_Dreamshaper_v7"  # videopipeline.py:57
 DEFAULT_CONTROLNET = "lllyasviel/control_v11p_sd15_canny"  # videopipeline.py:51
-
-
-def find_snapshot(repo_id: str, cache: str | None = None) -> str | None:
-    """Newest local HF-hub snapshot dir for repo_id, or None."""
-    cache = cache or os.environ.get(
-        "HF_HUB_CACHE", os.path.expanduser("~/.cache/huggingface/hub")
-    )
-    d = os.path.join(cache, "models--" + repo_id.replace("/", "--"), "snapshots")
-    if os.path.isdir(d):
-        snaps = sorted(
-            os.listdir(d), key=lambda s: os.path.getmtime(os.path.join(d, s))
-        )
-        if snaps:
-            return os.path.join(d, snaps[-1])
-    return None
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
