@@ -192,6 +192,12 @@ class ServerConfig:
     batch_fill_ms: float = 50.0
     # weight source: HF-style local cache dir or "random" (tests/bench)
     weights: str = "auto"
+    # post-training quantization of the denoiser towers: "none" | "int8".
+    # int8 rewrites the transformer-block linears to w8a8 (ops/quant.py).
+    # On this stack it is a MEMORY lever (halves denoiser weight HBM),
+    # not a speed win — measured slower than bf16 at flagship shapes
+    # (PERF.md "int8 w8a8 re-probe").  Off by default.
+    quant: str = "none"
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ServerConfig":
@@ -204,6 +210,9 @@ class ServerConfig:
             if val not in ("rgb", "i420"):
                 raise ValueError(f"{key} must be 'rgb' or 'i420', got {val!r}")
             setattr(cfg, key, val)
+        cfg.quant = str(cfg.quant or "none").lower()
+        if cfg.quant not in ("none", "int8"):
+            raise ValueError(f"quant must be 'none' or 'int8', got {cfg.quant!r}")
         if cfg.mesh_data is None:
             cfg.mesh_data = max(1, cfg.gpus // max(1, cfg.mesh_model))
         elif cfg.mesh_data * max(1, cfg.mesh_model) != max(1, cfg.gpus):

@@ -28,6 +28,8 @@ __all__ = [
     "conv2d",
     "linear_init",
     "linear",
+    "linear_w8a8",
+    "quantize_linear",
     "group_norm_init",
     "group_norm",
     "layer_norm_init",
@@ -108,7 +110,53 @@ def linear_init(key, in_dim: int, out_dim: int, *, bias: bool = True) -> Params:
 
 
 def linear(params: Params, x):
+    if "w8" in params:
+        return linear_w8a8(params, x)
     y = jnp.dot(x, params["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantize_linear(params: Params) -> Params:
+    """Convert a linear param dict to int8 w8a8 form.
+
+    Symmetric per-output-channel weight scales: ``w8[k, n] =
+    round(kernel[k, n] / sw[n])`` with ``sw = max|kernel[:, n]| / 127``.
+    The apply path (:func:`linear_w8a8`) quantizes activations dynamically
+    per tensor, so no calibration pass is needed.  Bias stays fp32.
+    """
+    k = params["kernel"].astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(k), axis=0), 1e-8) / 127.0
+    w8 = jnp.clip(jnp.round(k / sw[None, :]), -127, 127).astype(jnp.int8)
+    q: Params = {"w8": w8, "sw": sw}
+    if "bias" in params:
+        q["bias"] = params["bias"]
+    return q
+
+
+def linear_w8a8(params: Params, x):
+    """int8 x int8 -> int32 linear with dynamic per-tensor activation scale.
+
+    NOTE on speed: the v5e MXU nominally runs int8 at 2x its bf16 rate,
+    but slope-measured on this stack the full quant -> int8 dot -> dequant
+    chain is SLOWER than the plain bf16 matmul at almost every flagship
+    UNet shape (0.57-0.95x; one 1.24x outlier at a batch-4 GEGLU shape) —
+    XLA does not engage a fast int8 MXU path here and the quant/dequant
+    epilogues dominate (PERF.md "int8 w8a8 re-probe, round 2").  The mode
+    exists as an opt-in memory lever (int8 halves denoiser weight HBM),
+    not a compute win; ops/quant.py picks which layers use it.
+    """
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq,
+        params["w8"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (params["sw"] * sx)
     if "bias" in params:
         y = y + params["bias"].astype(jnp.float32)
     return y.astype(x.dtype)

@@ -34,6 +34,7 @@ from videosd_tpu.models.layers import (
     layer_norm_init,
     linear,
     linear_init,
+    linear_w8a8,
     silu,
     timestep_embedding,
     upsample_nearest2d,
@@ -218,27 +219,49 @@ def cross_attn_apply(p: Params, x, context, *, num_heads: int, impl: str = "auto
         # self-attention: fuse Q/K/V into ONE GEMM so the MXU sees one
         # [S,C]x[C,3C] matmul instead of three skinny ones.  A
         # pre-concatenated "wqkv" param (precat_attention_weights) skips
-        # the per-call in-graph weight concat/slice copies.
-        wqkv = p.get("wqkv")
-        if wqkv is None:
-            wqkv = jnp.concatenate(
-                [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]],
-                axis=1,
-            )
-        qkv = jnp.dot(
-            x, wqkv.astype(x.dtype), preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        # the per-call in-graph weight concat/slice copies.  Quantized
+        # projections (ops/quant.py) fuse the same way: int8 kernels and
+        # per-channel scales concatenate along the output axis, so one
+        # w8a8 GEMM still serves all three.
+        if "w8" in p["to_q"]:
+            wqkv = {
+                "w8": jnp.concatenate(
+                    [p["to_q"]["w8"], p["to_k"]["w8"], p["to_v"]["w8"]], axis=1
+                ),
+                "sw": jnp.concatenate(
+                    [p["to_q"]["sw"], p["to_k"]["sw"], p["to_v"]["sw"]]
+                ),
+            }
+            qkv = linear_w8a8(wqkv, x)
+        else:
+            wqkv = p.get("wqkv")
+            if wqkv is None:
+                wqkv = jnp.concatenate(
+                    [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]],
+                    axis=1,
+                )
+            qkv = jnp.dot(
+                x, wqkv.astype(x.dtype), preferred_element_type=jnp.float32
+            ).astype(x.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
         q = linear(p["to_q"], x)
-        wkv = p.get("wkv")
-        if wkv is None:
-            wkv = jnp.concatenate(
-                [p["to_k"]["kernel"], p["to_v"]["kernel"]], axis=1
-            )
-        kv = jnp.dot(
-            context, wkv.astype(context.dtype), preferred_element_type=jnp.float32
-        ).astype(context.dtype)
+        if "w8" in p["to_k"]:
+            # banked self-attention READ pass over [h ; self_kv] context
+            wkv = {
+                "w8": jnp.concatenate([p["to_k"]["w8"], p["to_v"]["w8"]], axis=1),
+                "sw": jnp.concatenate([p["to_k"]["sw"], p["to_v"]["sw"]]),
+            }
+            kv = linear_w8a8(wkv, context)
+        else:
+            wkv = p.get("wkv")
+            if wkv is None:
+                wkv = jnp.concatenate(
+                    [p["to_k"]["kernel"], p["to_v"]["kernel"]], axis=1
+                )
+            kv = jnp.dot(
+                context, wkv.astype(context.dtype), preferred_element_type=jnp.float32
+            ).astype(context.dtype)
         k, v = jnp.split(kv, 2, axis=-1)
     out = attention(q, k, v, num_heads=num_heads, impl=impl)
     return linear(p["to_out"], out)
@@ -263,7 +286,12 @@ def precat_attention_weights(params: Params) -> Params:
             out = {k: walk(v) for k, v in node.items()}
             for name in ("attn1", "attn2"):
                 a = out.get(name)
-                if isinstance(a, dict) and "to_q" in a and "wqkv" not in a:
+                if (
+                    isinstance(a, dict)
+                    and "to_q" in a
+                    and "wqkv" not in a
+                    and "kernel" in a["to_q"]  # skip w8a8-quantized attention
+                ):
                     a = dict(a)
                     if name == "attn1":
                         a["wqkv"] = jnp.concatenate(

@@ -244,6 +244,11 @@ class Engine:
                     )
                 self._bundle = ModelBundle.random(family, dtype=dtype)
                 self.weights_source = None
+            if str(getattr(self.config, "quant", "none")).lower() == "int8":
+                from videosd_tpu.ops.quant import quantize_bundle_params
+
+                self._bundle.params = quantize_bundle_params(self._bundle.params)
+                log.info("quant: int8 w8a8 applied to unet/controlnet linears")
         return self._bundle
 
     def swap_params(self, params: dict, *, source: str | None = None) -> None:
@@ -260,6 +265,13 @@ class Engine:
         prompts on the next tick via the dispatcher pre-encode path.
         """
         import jax
+
+        if str(getattr(self.config, "quant", "none")).lower() == "int8":
+            # the serving tree is quantized; apply the same deterministic
+            # transform to the incoming checkpoint so paths/dtypes line up
+            from videosd_tpu.ops.quant import quantize_bundle_params
+
+            params = quantize_bundle_params(params)
 
         # graft the new leaves into the SERVING treedef by path: programs
         # were traced against the serving tree's structure, so the swapped
