@@ -37,6 +37,13 @@ def main(argv=None):
     p.add_argument("--family", default="sd15")
     p.add_argument("--weights", help="local diffusers checkpoint dir")
     p.add_argument("--controlnet-weights")
+    p.add_argument(
+        "--lora",
+        action="append",
+        default=[],
+        help="LoRA safetensors to fuse (repeatable; e.g. LCM-LoRA)",
+    )
+    p.add_argument("--lora-scale", type=float, default=1.0)
     args = p.parse_args(argv)
 
     import jax
@@ -63,6 +70,17 @@ def main(argv=None):
     else:
         print("note: no --weights; using random init", file=sys.stderr)
         bundle = ModelBundle.random(args.family)
+
+    if args.lora:
+        import dataclasses
+
+        from videosd_tpu.io.lora import fuse_bundle_loras
+
+        bundle = dataclasses.replace(bundle)  # keep the shared cache pristine
+        stats = fuse_bundle_loras(
+            bundle, [(path, args.lora_scale) for path in args.lora]
+        )
+        print(f"lora: fused {stats}", file=sys.stderr)
 
     spec = FrameSpec(
         batch=1,

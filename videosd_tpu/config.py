@@ -198,6 +198,13 @@ class ServerConfig:
     # not a speed win — measured slower than bf16 at flagship shapes
     # (PERF.md "int8 w8a8 re-probe").  Off by default.
     quant: str = "none"
+    # LoRA adapters fused into the loaded checkpoint at startup
+    # (BASELINE config 1: "SD-1.5 + LCM-LoRA").  A safetensors path, a
+    # list of paths, or a list of {path, scale} dicts; `lora_scale` is
+    # the default scale.  Fused load-time (io/lora.py): zero per-step
+    # cost, and hot-swapped checkpoints re-fuse the same adapters.
+    lora: Any = None
+    lora_scale: float = 1.0
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ServerConfig":
@@ -213,6 +220,13 @@ class ServerConfig:
         cfg.quant = str(cfg.quant or "none").lower()
         if cfg.quant not in ("none", "int8"):
             raise ValueError(f"quant must be 'none' or 'int8', got {cfg.quant!r}")
+        # validate + normalize the lora spec early (fail at config load,
+        # not mid-serving): from videosd_tpu.io.lora import here to keep
+        # config.py import-light for client tooling
+        if cfg.lora:
+            from videosd_tpu.io.lora import normalize_lora_setting
+
+            cfg.lora = normalize_lora_setting(cfg.lora, float(cfg.lora_scale))
         if cfg.mesh_data is None:
             cfg.mesh_data = max(1, cfg.gpus // max(1, cfg.mesh_model))
         elif cfg.mesh_data * max(1, cfg.mesh_model) != max(1, cfg.gpus):

@@ -244,7 +244,22 @@ class Engine:
                     )
                 self._bundle = ModelBundle.random(family, dtype=dtype)
                 self.weights_source = None
-            if str(getattr(self.config, "quant", "none")).lower() == "int8":
+            loras = getattr(self.config, "lora", None) or []
+            quant = str(getattr(self.config, "quant", "none")).lower() == "int8"
+            if loras or quant:
+                # ModelBundle.random is cached/shared across callers —
+                # copy before rebinding params so the cache stays pristine
+                import dataclasses as _dc
+
+                self._bundle = _dc.replace(self._bundle)
+            if loras:
+                # LoRA fuses BEFORE quant: deltas add to bf16 kernels,
+                # then the fused result quantizes (io/lora.py module doc)
+                from videosd_tpu.io.lora import fuse_bundle_loras
+
+                stats = fuse_bundle_loras(self._bundle, loras)
+                log.info("lora: fused modules per tower: %s", stats)
+            if quant:
                 from videosd_tpu.ops.quant import quantize_bundle_params
 
                 self._bundle.params = quantize_bundle_params(self._bundle.params)
@@ -265,6 +280,19 @@ class Engine:
         prompts on the next tick via the dispatcher pre-encode path.
         """
         import jax
+
+        loras = getattr(self.config, "lora", None) or []
+        if loras:
+            # the serving bundle carries the configured adapters; fuse the
+            # same ones into the incoming base checkpoint (before quant)
+            import dataclasses as _dc
+
+            from videosd_tpu.io.lora import fuse_bundle_loras
+
+            shim = _dc.replace(self.bundle)
+            shim.params = params
+            fuse_bundle_loras(shim, loras)
+            params = shim.params
 
         if str(getattr(self.config, "quant", "none")).lower() == "int8":
             # the serving tree is quantized; apply the same deterministic
