@@ -56,6 +56,35 @@ def make_frames(
     return frames
 
 
+# rotating subjects for the config-5 live mode (fed to promptgen when a
+# sidecar URL is given, else templated locally)
+_SUBJECTS = [
+    "a fox in the snow",
+    "an ancient castle",
+    "a cyberpunk city at night",
+    "a sailboat at dawn",
+    "a jazz musician",
+    "a mountain monastery",
+]
+
+
+async def _next_prompt(session, promptgen_url: str | None, sid: int, k: int) -> str:
+    subject = _SUBJECTS[(sid + k) % len(_SUBJECTS)]
+    if promptgen_url:
+        # langserve wire format (the client's RemoteRunnable.invoke POST,
+        # reference index.tsx:20-23,370 -> promptgen.py:66-70)
+        async with session.post(
+            promptgen_url.rstrip("/") + "/llama-chat/invoke",
+            json={"input": {"text": subject}},
+        ) as r:
+            body = await r.json()
+            out = body.get("output", subject)
+            if isinstance(out, dict):  # LLMChain output: {"text": ...}
+                out = out.get("text", subject)
+            return str(out).strip() or subject
+    return f"{subject}, detailed, cinematic, 8k"
+
+
 async def stream_worker(
     url: str,
     sid: int,
@@ -65,16 +94,27 @@ async def stream_worker(
     results: dict,
     inflight: int = 1,
     raw: bool = False,
+    mutate_every: float = 0.0,
+    promptgen_url: str | None = None,
+    warm_alpha: float = 0.0,
 ):
     """One camera stream.  ``inflight``: how many frames the client keeps
     in flight (1 = strictly synchronous like the stock browser client;
     2 overlaps the upload of frame N+1 with the diffusion of frame N,
-    hiding the transport round trip)."""
+    hiding the transport round trip).
+
+    ``mutate_every`` > 0 turns on the BASELINE config-5 shape: the worker
+    swaps its prompt live every N seconds through the data-channel
+    protocol (optionally asking the promptgen sidecar for it), with
+    embedding crossfade (prompt_blend_frames) and temporal latent
+    warm-start (warm_alpha) active — all traced, so a healthy server
+    shows ZERO recompile stalls across mutations."""
     import aiohttp
 
     lat = []
     sent: list[float] = []
     n_out = 0
+    n_mut = 0
     async with aiohttp.ClientSession() as session:
         async with session.ws_connect(url + "/ws", max_msg_size=64 * 2**20) as ws:
             opts = {
@@ -89,10 +129,21 @@ async def stream_worker(
                 "height": size,
                 "jpeg": not raw,
             }
+            if mutate_every > 0:
+                opts["prompt_blend_frames"] = 8
+                opts["warm_alpha"] = warm_alpha
             await ws.send_str(json.dumps({"type": "init", "options": opts}))
             t_end = time.perf_counter() + seconds
+            next_mut = time.perf_counter() + mutate_every
             i = 0
             while time.perf_counter() < t_end:
+                if mutate_every > 0 and time.perf_counter() >= next_mut:
+                    prompt = await _next_prompt(session, promptgen_url, sid, n_mut)
+                    await ws.send_str(
+                        json.dumps({"type": "prompt", "prompt": prompt})
+                    )
+                    n_mut += 1
+                    next_mut += mutate_every
                 while len(sent) < inflight:
                     sent.append(time.perf_counter())
                     await ws.send_bytes(frames[i % len(frames)])
@@ -102,7 +153,7 @@ async def stream_worker(
                     break
                 lat.append(time.perf_counter() - sent.pop(0))
                 n_out += 1
-    results[sid] = (n_out, lat)
+    results[sid] = (n_out, lat, n_mut)
 
 
 async def main():
@@ -119,6 +170,19 @@ async def main():
         action="store_true",
         help="packed planar 4:2:0 frames (raw, half the upload bytes)",
     )
+    ap.add_argument(
+        "--mutate-every",
+        type=float,
+        default=0.0,
+        help="BASELINE config-5 live mode: swap each stream's prompt every"
+        " N seconds (embedding crossfade + latent warm-start active)",
+    )
+    ap.add_argument(
+        "--promptgen-url",
+        help="promptgen sidecar base URL — prompts come from the LLM loop"
+        " (langserve /llama-chat/invoke wire format)",
+    )
+    ap.add_argument("--warm-alpha", type=float, default=0.3)
     args = ap.parse_args()
     args.raw = args.raw or args.raw_i420
 
@@ -139,15 +203,17 @@ async def main():
         *[
             stream_worker(
                 args.url, s, frames, args.seconds, args.size, results,
-                args.inflight, args.raw,
+                args.inflight, args.raw, args.mutate_every,
+                args.promptgen_url, args.warm_alpha,
             )
             for s in range(args.streams)
         ]
     )
     wall = time.perf_counter() - t0
 
-    all_lat = sorted(x for _, l in results.values() for x in l)
-    total = sum(n for n, _ in results.values())
+    all_lat = sorted(x for _, l, _ in results.values() for x in l)
+    total = sum(n for n, _, _ in results.values())
+    mutations = sum(m for _, _, m in results.values())
     out = {
         "streams": args.streams,
         "inflight": args.inflight,
@@ -162,6 +228,9 @@ async def main():
         else None,
         "frames": total,
     }
+    if args.mutate_every > 0:
+        out["prompt_mutations"] = mutations
+        out["promptgen_in_loop"] = bool(args.promptgen_url)
     print(json.dumps(out))
 
 

@@ -309,6 +309,9 @@ def test_engine_lora_then_quant_ordering(tmp_path):
     eng = Engine(cfg)
     # quant applied AFTER lora: quantized linears exist and fuse succeeded
     assert quant_stats(eng.bundle.params["unet"])["quantized_linears"] > 0
+    # both levers surface in /stats for observability
+    s = eng.stats()
+    assert s["quant"] == "int8" and s["lora"][0]["path"] == path
 
 
 def test_swap_params_refuses_lora(tmp_path):

@@ -1468,4 +1468,9 @@ class Engine:
             else {"data": 1, "model": 1}
         )
         s["weights_source"] = self.weights_source  # None = random init
+        loras = getattr(self.config, "lora", None) or []
+        if loras:
+            s["lora"] = [{"path": p, "scale": sc} for p, sc in loras]
+        if str(getattr(self.config, "quant", "none")).lower() != "none":
+            s["quant"] = self.config.quant
         return s
