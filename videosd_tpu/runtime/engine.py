@@ -1461,6 +1461,11 @@ class Engine:
         s["streams"] = len(self.streams)
         s["programs_compiled"] = len(self._programs)
         s["programs_compiling"] = len(self._compiling)
+        # servable buckets (first dummy run done).  _programs registers at
+        # BUILD time, so compiled >= ready while warmups are in flight —
+        # ops should gate load admission on this one (see BACKLOG: on
+        # remote-dispatch rigs, in-flight warmups time-share the chip)
+        s["programs_ready"] = len(self._ready_specs)
         s["dispatch_threads"] = dict(self._dispatch_threads)
         s["devices"] = (
             {"data": self.mesh.shape["data"], "model": self.mesh.shape["model"]}
