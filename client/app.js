@@ -24,6 +24,7 @@ const defaults = {
   style_fidelity: 1,
   controlnet: true,
   controlnet_scale: 2,
+  controlnet_interval: 1,
   width: 512,
   height: 512,
 };
@@ -71,7 +72,7 @@ function sendOption(name, value) {
   }
 }
 
-for (const id of ["steps", "strength", "guidance_scale", "controlnet_scale", "style_fidelity"]) {
+for (const id of ["steps", "strength", "guidance_scale", "controlnet_scale", "controlnet_interval", "style_fidelity"]) {
   $(id).addEventListener("input", (e) => {
     const v = parseFloat(e.target.value);
     $(id + "-out").value = v;

@@ -44,6 +44,13 @@ def main(argv=None):
         help="LoRA safetensors to fuse (repeatable; e.g. LCM-LoRA)",
     )
     p.add_argument("--lora-scale", type=float, default=1.0)
+    p.add_argument(
+        "--controlnet-interval",
+        type=int,
+        default=1,
+        help="evaluate ControlNet every k-th step, reusing residuals "
+        "between (1 = reference parity)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -90,6 +97,7 @@ def main(argv=None):
         in_width=frame.shape[2],
         steps=args.steps,
         use_controlnet="controlnet" in bundle.params,
+        controlnet_interval=args.controlnet_interval,
     )
     program = build_frame_program(bundle, spec)
     encoder = build_prompt_encoder(bundle)

@@ -227,3 +227,76 @@ def test_i420_input_program_parity(bundle, program, embeds, rng):
         np.asarray(out_i, np.float32) - np.asarray(out_r, np.float32)
     ).mean()
     assert diff < 8.0, diff
+
+
+def test_controlnet_interval_single_step_is_exact(bundle, embeds, rng):
+    """With a 1-step ladder every interval evaluates the ControlNet exactly
+    once at the same (latents, t), so interval>1 must be numerically
+    identical to the reference-parity interval=1 program."""
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    s1 = FrameSpec(batch=1, height=32, width=32, steps=1)
+    s4 = FrameSpec(batch=1, height=32, width=32, steps=1, controlnet_interval=4)
+    o1, _ = build_frame_program(bundle, s1)(bundle.params, frame, embeds, *_opts())
+    o4, _ = build_frame_program(bundle, s4)(bundle.params, frame, embeds, *_opts())
+    np.testing.assert_allclose(
+        np.asarray(o1, np.int32), np.asarray(o4, np.int32), atol=1
+    )
+
+
+def test_controlnet_interval_reuses_residuals(bundle, embeds, rng):
+    """steps=4 @ interval=2 traces exactly 2 ControlNet calls (s=0,2) and
+    its output differs from interval=1 (the stale-latent approximation is
+    real, not a silent no-op).  The random-init ControlNet's output convs
+    are zero (residuals vanish, models/controlnet.py zero-init), so the
+    zero convs are perturbed to make residuals observable."""
+    from videosd_tpu.pipelines import lcm_img2img as m
+
+    # give the zero-convs nonzero kernels so residuals actually land
+    prng = np.random.default_rng(3)
+    params = dict(bundle.params)
+    params["controlnet"] = jax.tree.map(
+        lambda a: jnp.asarray(prng.normal(0, 0.05, a.shape), a.dtype)
+        if a.ndim in (1, 4)
+        else a,
+        bundle.params["controlnet"],
+    )
+
+    calls = []
+    orig = m.controlnet_apply
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    spec2 = FrameSpec(batch=1, height=32, width=32, steps=4, controlnet_interval=2)
+    spec1 = FrameSpec(batch=1, height=32, width=32, steps=4)
+    m.controlnet_apply = counting
+    try:
+        out2, _ = build_frame_program(bundle, spec2)(params, frame, embeds, *_opts())
+        n2 = len(calls)
+    finally:
+        m.controlnet_apply = orig
+    assert n2 == 2, n2
+    out1, _ = build_frame_program(bundle, spec1)(params, frame, embeds, *_opts())
+    assert np.abs(np.asarray(out2, int) - np.asarray(out1, int)).max() > 0
+
+
+def test_controlnet_interval_keep_window(bundle, embeds, rng):
+    """Interval mode still honors the reference keep-schedule
+    (lcm_controlnet.py:521-529): with control_guidance_end excluding the
+    final step, that step's reused residuals are scaled to zero — so the
+    program equals the same schedule at interval=1 on a 2-step ladder
+    where each retained step IS an eval step."""
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    # 2 steps, end=0.5: only step 0 keeps residuals; step 1 (s+1)/S=1.0>0.5
+    a = FrameSpec(batch=1, height=32, width=32, steps=2, control_guidance_end=0.5)
+    b = FrameSpec(
+        batch=1, height=32, width=32, steps=2, control_guidance_end=0.5,
+        controlnet_interval=2,
+    )
+    oa, _ = build_frame_program(bundle, a)(bundle.params, frame, embeds, *_opts())
+    ob, _ = build_frame_program(bundle, b)(bundle.params, frame, embeds, *_opts())
+    np.testing.assert_allclose(
+        np.asarray(oa, np.int32), np.asarray(ob, np.int32), atol=1
+    )

@@ -54,6 +54,12 @@ _OPTION_COERCIONS = {
     "warm_alpha": float,
     "jpeg": bool,  # WS transport: server returns JPEG blobs
     "prompt_blend_frames": int,  # crossfade embeddings on prompt change
+    # ControlNet evaluation interval (1 = every step, reference parity;
+    # k>1 reuses residuals between evals — ~23% of device time at k=4,
+    # see FrameSpec.controlnet_interval).  Bucket-keyed: changing it
+    # compiles a new program variant (served via nearest-ready fallback
+    # meanwhile, like the steps slider).
+    "controlnet_interval": int,
 }
 
 _OPTION_DEFAULTS = {

@@ -76,7 +76,7 @@ def sobel_magnitude_pallas(gray):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(h // _TILE,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((_TILE, w), lambda i: (i, 0)),
             scratch_shapes=[
                 pltpu.VMEM((_TILE + 2 * _HALO, w), jnp.float32),

@@ -99,6 +99,15 @@ class FrameSpec:
     # residuals iff i/steps >= start and (i+1)/steps <= end
     control_guidance_start: float = 0.0
     control_guidance_end: float = 1.0
+    # ControlNet evaluation interval: 1 (default) = run the ControlNet
+    # every denoise step, exactly like the reference's loop
+    # (lcm_controlnet.py:558-566).  k>1 = recompute residuals only on
+    # steps s % k == 0 and REUSE them in between (the control image is
+    # frame-constant; only the latent input goes stale).  An opt-in
+    # throughput lever for TPU serving — the ControlNet encoder is ~23%
+    # of flagship device time (PERF.md by-block profile) — measured, not
+    # parity: leave at 1 to match the reference bit-for-bit.
+    controlnet_interval: int = 1
 
     def resolved_in_shape(self) -> tuple[int, int]:
         return (self.in_height or self.height, self.in_width or self.width)
@@ -424,6 +433,8 @@ def frame_program(
 
     # --- unrolled denoise loop (S static; per-element masks handle shorter
     # ladders, see schedulers/lcm.py docstring)
+    cn_interval = max(1, int(spec.controlnet_interval))
+    cn_cache = None  # residuals at base scale, reused between eval steps
     for s in range(S):
         t = ts[:, s]
         t_prev = ts[:, s + 1] if s + 1 < S else t
@@ -437,18 +448,45 @@ def frame_program(
             or (s + 1) / S > spec.control_guidance_end
         )
         if spec.use_controlnet and keep > 0.0:
-            with jax.named_scope("controlnet"):
-                down_res, mid_res = controlnet_apply(
-                    params["controlnet"],
-                    unet_cfg,
-                    latents,
-                    t,
-                    context,
-                    ctrl,
-                    conditioning_scale=controlnet_scale * keep,
-                    timestep_cond=w_emb,
-                    added_cond_kwargs=added_cond,
-                )
+            if cn_interval == 1:
+                # reference semantics: evaluate every step
+                # (lcm_controlnet.py:558-566)
+                with jax.named_scope("controlnet"):
+                    down_res, mid_res = controlnet_apply(
+                        params["controlnet"],
+                        unet_cfg,
+                        latents,
+                        t,
+                        context,
+                        ctrl,
+                        conditioning_scale=controlnet_scale * keep,
+                        timestep_cond=w_emb,
+                        added_cond_kwargs=added_cond,
+                    )
+            else:
+                # interval mode: recompute on s % k == 0, reuse otherwise.
+                # Residuals are linear in conditioning_scale (the ControlNet
+                # output convs scale them multiplicatively), so the cache
+                # holds base-scale residuals and `keep` applies at use-site
+                # — identical math at eval steps, stale-latent approximation
+                # in between.
+                if cn_cache is None or s % cn_interval == 0:
+                    with jax.named_scope("controlnet"):
+                        cn_cache = controlnet_apply(
+                            params["controlnet"],
+                            unet_cfg,
+                            latents,
+                            t,
+                            context,
+                            ctrl,
+                            conditioning_scale=controlnet_scale,
+                            timestep_cond=w_emb,
+                            added_cond_kwargs=added_cond,
+                        )
+                down_res, mid_res = cn_cache
+                if keep != 1.0:
+                    down_res = [r * keep for r in down_res]
+                    mid_res = mid_res * keep
 
         with jax.named_scope("unet"):
             eps = unet_apply(

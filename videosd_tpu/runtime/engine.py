@@ -803,18 +803,21 @@ class Engine:
         )
 
     def _nearest_ready_spec(self, spec, ref_mode: bool):
-        """A ready program differing from ``spec`` only in steps and/or
-        output resolution, or None if no compiled variant can stand in.
+        """A ready program differing from ``spec`` only in steps, output
+        resolution, and/or ControlNet interval, or None if no compiled
+        variant can stand in.
 
         Ranking: same resolution beats same steps (a transitional ladder
         change is invisible; a transitional size change the client just
         renders at the reply's dimensions), then nearest steps, then
-        nearest area."""
+        nearest area, then nearest ControlNet interval (a transitional
+        interval change only alters residual freshness)."""
         import dataclasses
 
         def normalize(s):
             return dataclasses.replace(
-                s, steps=spec.steps, height=spec.height, width=spec.width
+                s, steps=spec.steps, height=spec.height, width=spec.width,
+                controlnet_interval=spec.controlnet_interval,
             )
 
         # list() snapshot: executor threads add to _ready_specs concurrently
@@ -831,6 +834,7 @@ class Engine:
                 (s.height, s.width) != (spec.height, spec.width),
                 abs(s.steps - spec.steps),
                 abs(s.height * s.width - spec.height * spec.width),
+                abs(s.controlnet_interval - spec.controlnet_interval),
             ),
         )
 
@@ -1183,6 +1187,7 @@ class Engine:
                     w,
                     bool(st.options.get("ref")),
                     bool(st.options.get("controlnet", True)),
+                    max(1, int(st.options.get("controlnet_interval", 1) or 1)),
                 )
                 groups.setdefault(key, []).append((st, buf, ts))
 
@@ -1208,7 +1213,7 @@ class Engine:
 
         from videosd_tpu.pipelines.lcm_img2img import FrameSpec
 
-        (steps, h, w, ref_mode, use_cn) = key
+        (steps, h, w, ref_mode, use_cn, cn_interval) = key
         b = self._bucket_batch(len(items))
         spec = FrameSpec(
             batch=b,
@@ -1219,6 +1224,7 @@ class Engine:
             in_format=self.input_format,
             steps=steps,
             use_controlnet=use_cn and not ref_mode,
+            controlnet_interval=cn_interval,
         )
         # compile-stall avoidance: a fresh bucket (steps slider moved, a
         # resolution renegotiation, or more concurrent streams than any
