@@ -100,14 +100,50 @@ document.querySelectorAll(".tabs button").forEach((b) =>
 );
 
 /* ------------------------------------------------ camera */
+let synthTimer = null;
+function syntheticStream() {
+  // animated test pattern via canvas.captureStream: drives the full stack
+  // without a camera (kiosk demos, headless CI, permission-less tabs)
+  const c = document.createElement("canvas");
+  c.width = 640; c.height = 480;
+  const ctx = c.getContext("2d");
+  let t = 0;
+  clearInterval(synthTimer);
+  synthTimer = setInterval(() => {
+    t += 1;
+    const g = ctx.createLinearGradient(0, 0, c.width, c.height);
+    g.addColorStop(0, `hsl(${(t * 2) % 360},70%,40%)`);
+    g.addColorStop(1, `hsl(${(t * 2 + 120) % 360},70%,20%)`);
+    ctx.fillStyle = g;
+    ctx.fillRect(0, 0, c.width, c.height);
+    ctx.fillStyle = "#fff";
+    ctx.beginPath();
+    ctx.arc(320 + 180 * Math.cos(t / 20), 240 + 120 * Math.sin(t / 13), 60, 0, 7);
+    ctx.fill();
+    ctx.fillStyle = "#000";
+    ctx.font = "28px monospace";
+    ctx.fillText("synthetic " + t, 20, 40);
+  }, 66);
+  return c.captureStream(15);
+}
+
 async function openCamera() {
   if (state.stream) state.stream.getTracks().forEach((t) => t.stop());
-  state.stream = await navigator.mediaDevices.getUserMedia({
-    video: { facingMode: state.facing, width: { ideal: 1280 }, height: { ideal: 720 } },
-    audio: false,
-  });
+  if ($("syntheticSource").checked) {
+    state.stream = syntheticStream();
+  } else {
+    state.stream = await navigator.mediaDevices.getUserMedia({
+      video: { facingMode: state.facing, width: { ideal: 1280 }, height: { ideal: 720 } },
+      audio: false,
+    });
+  }
   $("selfView").srcObject = state.stream;
   return state.stream;
+}
+if (new URLSearchParams(location.search).get("synthetic")) {
+  // ?synthetic=1 preselects the test-pattern source (see Settings);
+  // app.js loads at the end of <body>, so the toggle exists already
+  $("syntheticSource").checked = true;
 }
 
 $("flipBtn").addEventListener("click", async () => {
@@ -245,6 +281,7 @@ $("startBtn").addEventListener("click", async () => {
   if (state.running) {
     state.pc?.close(); state.ws?.close();
     clearInterval(state.sendTimer);
+    clearInterval(synthTimer);
     stopStatsPolling();
     state.stream?.getTracks().forEach((t) => t.stop());
     state.running = false;
