@@ -97,6 +97,7 @@ async def stream_worker(
     mutate_every: float = 0.0,
     promptgen_url: str | None = None,
     warm_alpha: float = 0.0,
+    cn_interval: int = 1,
 ):
     """One camera stream.  ``inflight``: how many frames the client keeps
     in flight (1 = strictly synchronous like the stock browser client;
@@ -132,6 +133,8 @@ async def stream_worker(
             if mutate_every > 0:
                 opts["prompt_blend_frames"] = 8
                 opts["warm_alpha"] = warm_alpha
+            if cn_interval != 1:
+                opts["controlnet_interval"] = cn_interval
             await ws.send_str(json.dumps({"type": "init", "options": opts}))
             t_end = time.perf_counter() + seconds
             next_mut = time.perf_counter() + mutate_every
@@ -183,6 +186,13 @@ async def main():
         " (langserve /llama-chat/invoke wire format)",
     )
     ap.add_argument("--warm-alpha", type=float, default=0.3)
+    ap.add_argument(
+        "--cn-interval",
+        type=int,
+        default=1,
+        help="controlnet_interval option for every stream (1 = reference"
+        " parity; k>1 = opt-in turbo, see PERF.md)",
+    )
     args = ap.parse_args()
     args.raw = args.raw or args.raw_i420
 
@@ -193,7 +203,7 @@ async def main():
         *[
             stream_worker(
                 args.url, s, frames, args.warmup_seconds, args.size, {},
-                args.inflight, args.raw,
+                args.inflight, args.raw, cn_interval=args.cn_interval,
             )
             for s in range(args.streams)
         ]
@@ -204,7 +214,7 @@ async def main():
             stream_worker(
                 args.url, s, frames, args.seconds, args.size, results,
                 args.inflight, args.raw, args.mutate_every,
-                args.promptgen_url, args.warm_alpha,
+                args.promptgen_url, args.warm_alpha, args.cn_interval,
             )
             for s in range(args.streams)
         ]
