@@ -809,3 +809,27 @@ def test_unfallbackable_bucket_passes_through_while_compiling(rng):
         return any(rm == ref for _s, rm in eng._ready_specs)
 
     asyncio.run(run())
+
+
+def test_engine_controlnet_interval_buckets(rng):
+    """The controlnet_interval option must reach the compiled FrameSpec
+    (bucket-keyed) and serve real frames through the turbo program."""
+
+    async def run():
+        eng = _mk_engine()
+        eng.start()
+        try:
+            st = eng.open_stream(
+                {"height": 32, "width": 32, "steps": 2, "controlnet_interval": 2}
+            )
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            out = await _first_real(eng, st, frame)
+            assert out.shape == (32, 32, 3)
+            assert any(
+                s.controlnet_interval == 2 and s.steps == 2
+                for s, _rm in eng._ready_specs
+            ), sorted((s.steps, s.controlnet_interval) for s, _ in eng._ready_specs)
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
