@@ -111,6 +111,32 @@ def main() -> None:
 
     fps4 = max(fps4_window() for _ in range(3))
 
+    # informational extra: the opt-in ControlNet-interval turbo mode
+    # (controlnet_interval=4 — evaluate the ControlNet once, reuse
+    # residuals; NOT reference semantics, so it never feeds the headline
+    # value/vs_baseline, which stay the parity program's numbers)
+    spec_t = FrameSpec(
+        batch=1, height=512, width=512, steps=4, controlnet_interval=4
+    )
+    program_t = build_frame_program(bundle, spec_t)
+    out, _ = program_t(bundle.params, frame, embeds, strength, guidance, cn, seed)
+    jax.block_until_ready(out)
+
+    def fps_turbo_window(n: int = 30) -> float:
+        t_start = time.perf_counter()
+        outs = []
+        for i in range(n):
+            out, _ = program_t(
+                bundle.params, frame, embeds, strength, guidance, cn, seed + i
+            )
+            outs.append(out)
+            if len(outs) > 2:
+                jax.block_until_ready(outs.pop(0))
+        jax.block_until_ready(outs)
+        return n / (time.perf_counter() - t_start)
+
+    fps_turbo = max(fps_turbo_window() for _ in range(3))
+
     print(
         json.dumps(
             {
@@ -120,6 +146,7 @@ def main() -> None:
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
                 "p50_latency_ms": round(p50, 2),
                 "batch4_aggregate_fps": round(fps4, 3),
+                "cn_interval4_turbo_fps": round(fps_turbo, 3),
             }
         )
     )
