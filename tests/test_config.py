@@ -88,3 +88,17 @@ def test_load_config_reference_keys(tmp_path):
 def test_server_config_defaults():
     cfg = ServerConfig.from_dict({})
     assert cfg.family == "sd15" and cfg.dtype == "bfloat16"
+
+
+def test_option_defaults_coerced_and_validated():
+    from videosd_tpu.config import ServerConfig
+
+    cfg = ServerConfig.from_dict(
+        {"option_defaults": {"controlnet_interval": "4", "strength": "0.4"}}
+    )
+    assert cfg.option_defaults == {"controlnet_interval": 4, "strength": 0.4}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ServerConfig.from_dict({"option_defaults": ["not", "a", "mapping"]})

@@ -833,3 +833,26 @@ def test_engine_controlnet_interval_buckets(rng):
             await eng.stop()
 
     asyncio.run(run())
+
+
+def test_engine_config_option_defaults_merge():
+    """config option_defaults sit under each stream's init options (init
+    wins; data-channel updates still apply on top)."""
+    import jax.numpy as jnp
+
+    from videosd_tpu.config import ServerConfig
+    from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+    from videosd_tpu.runtime.engine import Engine
+
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32)
+    eng = Engine(
+        ServerConfig(option_defaults={"controlnet_interval": 4, "strength": 0.4}),
+        bundle=bundle,
+        max_streams=2,
+        frame_hw=(32, 32),
+    )
+    st = eng.open_stream({})
+    assert st.options["controlnet_interval"] == 4
+    assert st.options["strength"] == 0.4
+    st2 = eng.open_stream({"controlnet_interval": 2})
+    assert st2.options["controlnet_interval"] == 2  # init options win

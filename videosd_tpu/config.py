@@ -211,6 +211,13 @@ class ServerConfig:
     # cost, and hot-swapped checkpoints re-fuse the same adapters.
     lora: Any = None
     lora_scale: float = 1.0
+    # server-side overrides of the per-stream option DEFAULTS (merged
+    # under each new stream's init options, which still win): lets a
+    # deployment default e.g. `controlnet_interval: 4` (turbo) or a house
+    # prompt without touching clients.  Keys are coerced with the same
+    # table as the data channel; the reference has no equivalent (its
+    # defaults are compiled into the client, index.tsx:35-47).
+    option_defaults: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ServerConfig":
@@ -233,6 +240,10 @@ class ServerConfig:
             from videosd_tpu.io.lora import normalize_lora_setting
 
             cfg.lora = normalize_lora_setting(cfg.lora, float(cfg.lora_scale))
+        if cfg.option_defaults:
+            if not isinstance(cfg.option_defaults, dict):
+                raise ValueError("option_defaults must be a mapping")
+            cfg.option_defaults = coerce_options(cfg.option_defaults)
         if cfg.mesh_data is None:
             cfg.mesh_data = max(1, cfg.gpus // max(1, cfg.mesh_model))
         elif cfg.mesh_data * max(1, cfg.mesh_model) != max(1, cfg.gpus):

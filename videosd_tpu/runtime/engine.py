@@ -444,7 +444,10 @@ class Engine:
         if not self._free_slots:
             raise RuntimeError("max_streams exceeded")
         sid = self._free_slots.pop(0)
-        st = StreamState(sid, options or {})
+        # deployment-level default overrides (config option_defaults) sit
+        # under the client's init options, which keep priority
+        cfg_defaults = getattr(self.config, "option_defaults", None) or {}
+        st = StreamState(sid, {**cfg_defaults, **(options or {})})
         self.streams[sid] = st
         return st
 
