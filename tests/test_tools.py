@@ -43,3 +43,43 @@ def test_warm_cache_warms_each_bucket_step_pair(tmp_path, monkeypatch, capsys):
     assert set(report["buckets"]) == {"b1_s2", "b1_s4", "b2_s2", "b2_s4"}
     assert report["total_s"] >= 0
     assert report["cache_dir"]
+
+
+def test_warm_cache_cn_interval_flag(tmp_path, monkeypatch):
+    """--cn-interval threads through to Engine.warmup so the warmed
+    programs match what option_defaults streams will request."""
+    from videosd_tpu.runtime.engine import Engine
+    from videosd_tpu.tools import warm_cache
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("family: tiny\nbatch_buckets: [1]\n")
+    seen = []
+
+    def fake_warmup(self, batch_sizes=(1,), steps=(4,), cn_interval=None, **kw):
+        seen.append((tuple(batch_sizes), tuple(steps), cn_interval))
+
+    monkeypatch.setattr(Engine, "warmup", fake_warmup)
+    warm_cache.main(["--config", str(cfg), "--cn-interval", "4"])
+    assert seen == [((1,), (4,), 4)]
+
+
+def test_engine_warmup_defaults_interval_from_config():
+    """Engine.warmup with no explicit interval warms the option_defaults
+    variant — the programs new streams will actually hit."""
+    import jax.numpy as jnp
+
+    from videosd_tpu.config import ServerConfig
+    from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+    from videosd_tpu.runtime.engine import Engine
+
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32)
+    eng = Engine(
+        ServerConfig(option_defaults={"controlnet_interval": 2}),
+        bundle=bundle,
+        max_streams=1,
+        frame_hw=(32, 32),
+    )
+    specs = []
+    eng._warm_spec = lambda spec, ref_mode: specs.append(spec)
+    eng.warmup(batch_sizes=(1,), steps=(2,), height=32, width=32)
+    assert [s.controlnet_interval for s in specs] == [2]

@@ -757,12 +757,20 @@ class Engine:
         st.current_emb = emb
         return emb
 
-    def warmup(self, batch_sizes=(1,), steps=(4,), height=512, width=512):
+    def warmup(
+        self, batch_sizes=(1,), steps=(4,), height=512, width=512,
+        cn_interval: int | None = None,
+    ):
         """Ahead-of-time compile the hot buckets (SURVEY.md §7 "hard parts":
         compile stalls kill p50).  batch_sizes are per-data-shard: the
-        compiled batch is b * data_axis so sharded rows stay even."""
+        compiled batch is b * data_axis so sharded rows stay even.
+        ``cn_interval`` defaults to the config's option_defaults value so
+        the warmed programs match what new streams will actually request."""
         from videosd_tpu.pipelines.lcm_img2img import FrameSpec
 
+        if cn_interval is None:
+            defaults = getattr(self.config, "option_defaults", None) or {}
+            cn_interval = int(defaults.get("controlnet_interval", 1) or 1)
         ih, iw = self.frame_hw
         for b in batch_sizes:
             for s in steps:
@@ -770,6 +778,7 @@ class Engine:
                     batch=b * self.data_axis, height=height, width=width,
                     in_height=ih, in_width=iw, steps=s,
                     in_format=self.input_format,
+                    controlnet_interval=max(1, cn_interval),
                 )
                 self._warm_spec(spec, ref_mode=False)
 

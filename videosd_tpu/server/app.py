@@ -495,12 +495,17 @@ async def _on_startup(app: web.Application):
         )
         from videosd_tpu.pipelines.lcm_img2img import FrameSpec
 
+        # warm the interval variant new streams will actually request
+        # (config option_defaults), like Engine.warmup does
+        defaults = app["config"].option_defaults or {}
+        cn_interval = max(1, int(defaults.get("controlnet_interval", 1) or 1))
         ih, iw = engine.frame_hw
         for b in batches[1:]:
             spec = FrameSpec(
                 batch=b * engine.data_axis, height=h, width=w,
                 in_height=ih, in_width=iw, steps=4,
                 in_format=engine.input_format,
+                controlnet_interval=cn_interval,
             )
             engine._compile_spec_background(loop, spec, ref_mode=False)
     app["watchdog_task"] = asyncio.get_running_loop().create_task(watchdog(app))

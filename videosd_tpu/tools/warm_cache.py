@@ -35,6 +35,13 @@ def main(argv=None) -> None:
         default=[4],
         help="step counts to warm (each is its own program)",
     )
+    p.add_argument(
+        "--cn-interval",
+        type=int,
+        default=1,
+        help="warm the controlnet_interval=k turbo variant of every"
+        " bucket (1 = reference-parity programs)",
+    )
     args = p.parse_args(argv)
 
     from videosd_tpu.config import load_config
@@ -48,7 +55,7 @@ def main(argv=None) -> None:
     for b in buckets:
         for s in args.steps:
             t0 = time.perf_counter()
-            engine.warmup(batch_sizes=(b,), steps=(s,))
+            engine.warmup(batch_sizes=(b,), steps=(s,), cn_interval=args.cn_interval)
             timings[f"b{b}_s{s}"] = round(time.perf_counter() - t0, 2)
     print(
         json.dumps(
