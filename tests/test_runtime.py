@@ -856,3 +856,50 @@ def test_engine_config_option_defaults_merge():
     assert st.options["strength"] == 0.4
     st2 = eng.open_stream({"controlnet_interval": 2})
     assert st2.options["controlnet_interval"] == 2  # init options win
+
+
+def test_background_compile_concurrency_cap():
+    """No more than config.compile_concurrency background compiles may run
+    at once (measured: unbounded parallel compiles starve small hosts)."""
+    import threading
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from videosd_tpu.config import ServerConfig
+    from videosd_tpu.pipelines.lcm_img2img import FrameSpec, ModelBundle
+    from videosd_tpu.runtime.engine import Engine
+
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32)
+    eng = Engine(
+        ServerConfig(compile_concurrency=2),
+        bundle=bundle,
+        max_streams=1,
+        frame_hw=(32, 32),
+    )
+    lock = threading.Lock()
+    live = {"now": 0, "peak": 0, "total": 0}
+
+    def slow_warm(spec, *, ref_mode):
+        with lock:
+            live["now"] += 1
+            live["peak"] = max(live["peak"], live["now"])
+        _time.sleep(0.2)
+        with lock:
+            live["now"] -= 1
+            live["total"] += 1
+
+    eng._warm_spec = slow_warm
+
+    async def run():
+        loop = asyncio.get_running_loop()
+        for s in range(1, 6):
+            spec = FrameSpec(batch=1, height=32, width=32, steps=s)
+            eng._compile_spec_background(loop, spec, ref_mode=False)
+        t0 = _time.monotonic()
+        while live["total"] < 5 and _time.monotonic() - t0 < 10:
+            await asyncio.sleep(0.05)
+
+    asyncio.run(run())
+    assert live["total"] == 5
+    assert live["peak"] <= 2, live["peak"]

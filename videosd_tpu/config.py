@@ -188,6 +188,13 @@ class ServerConfig:
     # requested sizes (reference-parity behavior, used by tests).
     resolution_buckets: tuple = ()
     batch_buckets: tuple = (1, 2, 4, 8)
+    # max CONCURRENT background bucket compiles.  Compiles run on daemon
+    # threads off the dispatch path; unbounded parallelism can starve the
+    # serving process on small hosts (measured: 6 parallel compiles on a
+    # 1-vCPU rig drove 98% system time and stats timeouts) — queued
+    # compiles wait their turn, streams keep getting nearest-ready or
+    # passthrough frames meanwhile.
+    compile_concurrency: int = 2
     # micro-batcher deadline (ms) before a partial batch is cut
     batch_deadline_ms: float = 10.0
     # extended fill window (ms): when MORE recently-active streams exist

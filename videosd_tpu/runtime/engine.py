@@ -160,6 +160,11 @@ class Engine:
         # and neither should the XLA build.
         self._ready_specs: set = set()
         self._compiling: set = set()
+        # bound CONCURRENT background compiles (config compile_concurrency):
+        # N parallel XLA compiles starve small serving hosts
+        self._compile_sem = threading.Semaphore(
+            max(1, int(getattr(self.config, "compile_concurrency", 2) or 2))
+        )
         # device-side output pack (config output_format: "i420"): batches
         # leave the chip as packed planar 4:2:0 — half the D2H bytes, and
         # the exact layout libjpeg raw-data / VP8 encoders consume.  The
@@ -864,7 +869,11 @@ class Engine:
 
         def work():
             try:
-                self._warm_spec(spec, ref_mode=ref_mode)
+                # bounded concurrency: parallel XLA compiles starve small
+                # hosts (config compile_concurrency); waiting threads are
+                # idle and the spec stays in _compiling for dedup
+                with self._compile_sem:
+                    self._warm_spec(spec, ref_mode=ref_mode)
             except Exception:
                 logging.getLogger("videosd_tpu.engine").exception(
                     "background compile failed for %s", spec
