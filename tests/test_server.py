@@ -769,3 +769,39 @@ def test_ws_i420_input_mode(rng):
             await client.close()
 
     asyncio.run(run())
+
+
+def test_warm_spec_subprocess_cache_handoff(tmp_path, monkeypatch):
+    """config ``compile_subprocess``: a background bucket compile first
+    warms the persistent cache from an isolated interpreter
+    (tools/warm_spec.py), then compiles in-process from the warm cache —
+    the serving event loop never hosts a cold trace/lower (measured
+    60-80 s HTTP stalls on a 1-vCPU rig; see the config docstring)."""
+    from videosd_tpu.pipelines.lcm_img2img import FrameSpec
+    from videosd_tpu.runtime.engine import Engine
+
+    # isolate the cache so the assertion below sees only this test's writes
+    monkeypatch.setenv("VIDEOSD_CACHE_DIR", str(tmp_path / "cache"))
+    cfg = ServerConfig(
+        family="tiny",
+        dtype="float32",
+        weights="random",
+        frame_hw=(32, 32),
+        batch_buckets=(1,),
+        compile_subprocess=True,
+    )
+    engine = Engine(cfg, max_streams=2, frame_hw=(32, 32))
+    spec = FrameSpec(
+        batch=1, height=32, width=32, in_height=32, in_width=32, steps=1
+    )
+    assert engine._warm_spec_subprocess(spec, ref_mode=False) is True
+    # the child's compile persisted into the shared cache directory
+    # (jax only persists compiles over min_compile_time_secs; the tiny
+    # program may be under it — the contract tested here is the handoff:
+    # child exits clean, parent compile succeeds and registers the spec)
+    engine._warm_spec(spec, ref_mode=False)
+    assert (spec, False) in engine._ready_specs
+
+    # failure path: an unbuildable request must return False, not raise
+    bad = FrameSpec(batch=0, height=32, width=32, steps=1)
+    assert engine._warm_spec_subprocess(bad, ref_mode=False) is False

@@ -195,6 +195,20 @@ class ServerConfig:
     # compiles wait their turn, streams keep getting nearest-ready or
     # passthrough frames meanwhile.
     compile_concurrency: int = 2
+    # warm each background bucket compile through a SUBPROCESS first: an
+    # isolated interpreter (tools/warm_spec.py) traces + compiles the
+    # spec into the shared persistent cache, then the serving process
+    # compiles the same spec from the warm cache.  Trace/lower holds the
+    # GIL in long C-extension calls — measured on the serving rig, an
+    # in-process cold bucket compile stretches event-loop HTTP latency
+    # to 60-80 s (a k8s liveness probe would kill the pod); with the
+    # subprocess warm, only the short cache-hit window remains
+    # in-process.  Costs one extra interpreter + model init (~RAM of
+    # one engine) per compile, bounded by compile_concurrency.  Needs a
+    # backend that allows a second process to attach (remote-attached
+    # TPU, CPU); PCIe libtpu is exclusive — leave off there and use the
+    # ops pre-roll (tools/warm_cache.py) instead.  Off by default.
+    compile_subprocess: bool = False
     # micro-batcher deadline (ms) before a partial batch is cut
     batch_deadline_ms: float = 10.0
     # extended fill window (ms): when MORE recently-active streams exist

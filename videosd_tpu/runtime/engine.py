@@ -873,6 +873,15 @@ class Engine:
                 # hosts (config compile_concurrency); waiting threads are
                 # idle and the spec stays in _compiling for dedup
                 with self._compile_sem:
+                    if getattr(self.config, "compile_subprocess", False):
+                        # cold trace/lower/compile holds the GIL in long
+                        # C-extension calls and starves the event loop
+                        # (measured 60-80 s HTTP stalls) — warm the
+                        # persistent cache from an isolated interpreter
+                        # first; the in-process compile below then runs
+                        # from cache.  Failure falls through: the
+                        # in-process path is always correct, just slower.
+                        self._warm_spec_subprocess(spec, ref_mode=ref_mode)
                     self._warm_spec(spec, ref_mode=ref_mode)
             except Exception:
                 logging.getLogger("videosd_tpu.engine").exception(
@@ -888,6 +897,68 @@ class Engine:
         self._bg_threads = {th for th in self._bg_threads if th.is_alive()}
         self._bg_threads.add(t)
         t.start()
+
+    def _warm_spec_subprocess(self, spec, *, ref_mode: bool) -> bool:
+        """Trace + compile ``spec`` into the shared persistent cache from
+        an isolated interpreter (tools/warm_spec.py), so the in-process
+        compile that follows is a cache hit.  See config
+        ``compile_subprocess`` for when this is safe.  Returns True when
+        the subprocess exited clean; failures only cost the fallthrough
+        to the (always-correct) in-process cold compile."""
+        import dataclasses
+        import json
+        import subprocess
+        import sys
+        import tempfile
+
+        log = logging.getLogger("videosd_tpu.engine")
+        cfg = dataclasses.asdict(self.config)
+        # runtime state that may have diverged from the config file but
+        # participates in the program's identity
+        cfg["input_format"] = self.input_format
+        cfg["output_format"] = self.output_format
+        cfg["frame_hw"] = list(self.frame_hw)
+        cfg["compile"] = False  # the child warms exactly one spec
+        cfg["compile_subprocess"] = False
+        req = {
+            "cfg": cfg,
+            "spec": dataclasses.asdict(spec),
+            "ref_mode": ref_mode,
+        }
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".json", prefix="warm_spec_", delete=False
+        ) as f:
+            json.dump(req, f)
+            path = f.name
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "videosd_tpu.tools.warm_spec",
+                 "--json", path],
+                capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            log.warning("subprocess warm of %s timed out (1 h)", spec)
+            return False
+        finally:
+            try:
+                import os as _os
+
+                _os.unlink(path)
+            except OSError:
+                pass
+        if proc.returncode != 0:
+            log.warning(
+                "subprocess warm of %s failed rc=%d: %s",
+                spec, proc.returncode, (proc.stderr or "")[-2000:],
+            )
+            return False
+        log.info(
+            "subprocess-warmed %s in %.1f s (%s)",
+            spec, time.perf_counter() - t0,
+            (proc.stdout or "").strip()[-200:],
+        )
+        return True
 
     def _dummy_batch(self, spec):
         import jax.numpy as jnp
