@@ -208,6 +208,26 @@ async def main():
             for s in range(args.streams)
         ]
     )
+    async def server_stats():
+        # generation-rate ground truth: at inflight>=2 the engine resolves
+        # EVERY queued waiter of a stream when its batch lands (drop
+        # semantics, engine.submit_frame) — client reply counts therefore
+        # include passthrough duplicates.  frames_out counts only real
+        # generations.
+        try:
+            import aiohttp
+
+            async with aiohttp.ClientSession() as s:
+                async with s.get(
+                    args.url.replace("ws://", "http://") + "/stats",
+                    timeout=aiohttp.ClientTimeout(total=10),
+                ) as r:
+                    d = await r.json()
+                    return int(d["frames_out"]), int(d["frames_dropped"])
+        except Exception:
+            return None
+
+    pre = await server_stats()
     t0 = time.perf_counter()
     await asyncio.gather(
         *[
@@ -220,6 +240,7 @@ async def main():
         ]
     )
     wall = time.perf_counter() - t0
+    post = await server_stats()
 
     all_lat = sorted(x for _, l, _ in results.values() for x in l)
     total = sum(n for n, _, _ in results.values())
@@ -238,6 +259,17 @@ async def main():
         else None,
         "frames": total,
     }
+    if pre is not None and post is not None:
+        out["gen_fps"] = round((post[0] - pre[0]) / wall, 2)
+        out["gen_per_stream_fps"] = round(
+            (post[0] - pre[0]) / wall / args.streams, 2
+        )
+        # duplicates = replies beyond real generations (batch landing
+        # resolves every queued waiter with the same output and does NOT
+        # count those as drops); frames_dropped_delta adds the drop-loop
+        # and similarity-skip resolutions
+        out["duplicate_replies"] = max(0, total - (post[0] - pre[0]))
+        out["frames_dropped_delta"] = post[1] - pre[1]
     if args.mutate_every > 0:
         out["prompt_mutations"] = mutations
         out["promptgen_in_loop"] = bool(args.promptgen_url)
