@@ -98,6 +98,7 @@ async def stream_worker(
     promptgen_url: str | None = None,
     warm_alpha: float = 0.0,
     cn_interval: int = 1,
+    extra_options: dict | None = None,
 ):
     """One camera stream.  ``inflight``: how many frames the client keeps
     in flight (1 = strictly synchronous like the stock browser client;
@@ -135,6 +136,8 @@ async def stream_worker(
                 opts["warm_alpha"] = warm_alpha
             if cn_interval != 1:
                 opts["controlnet_interval"] = cn_interval
+            if extra_options:
+                opts.update(extra_options)
             await ws.send_str(json.dumps({"type": "init", "options": opts}))
             t_end = time.perf_counter() + seconds
             next_mut = time.perf_counter() + mutate_every
