@@ -55,12 +55,55 @@ async def _stats(url: str) -> dict | None:
         return None
 
 
+async def _set_engine(args, value) -> bool:
+    """Apply an engine-level toggle (POST /debug/engine) and wait until no
+    program is background-compiling, so the leg measures the new layout's
+    steady state rather than passthrough frames."""
+    try:
+        async with aiohttp.ClientSession() as s:
+            async with s.post(
+                args.url + "/debug/engine",
+                json={args.engine_option: value},
+                timeout=aiohttp.ClientTimeout(total=15),
+            ) as r:
+                if r.status != 200:
+                    return False
+    except Exception:
+        return False
+    deadline = time.perf_counter() + args.compile_wait
+    while time.perf_counter() < deadline:
+        st = await _stats(args.url)
+        if st and int(st.get("programs_compiling", 0)) == 0:
+            return True
+        await asyncio.sleep(2.0)
+    return False
+
+
+async def _wait_compiles(args) -> bool:
+    """Wait until the server reports no background bucket compiles, so a
+    leg never measures nearest-ready fallback programs."""
+    deadline = time.perf_counter() + args.compile_wait
+    while time.perf_counter() < deadline:
+        st = await _stats(args.url)
+        if st and int(st.get("programs_compiling", 0)) == 0:
+            return True
+        await asyncio.sleep(2.0)
+    return False
+
+
 async def _leg(args, value) -> dict | None:
     """One measurement leg; returns the summary dict or None on failure."""
+    opts = {}
+    if args.engine_option:
+        if not await _set_engine(args, value):
+            return {"error": "engine toggle/compile-wait failed", "value": value}
+    else:
+        opts = {args.option: value}
+    if not await _wait_compiles(args):
+        return {"error": "background compiles never drained", "value": value}
     pre = await _stats(args.url)
     frames = _wlt.make_frames(args.size, raw=False, raw_i420=False)
     results: dict = {}
-    opts = {args.option: value}
     t0 = time.perf_counter()
     try:
         await asyncio.wait_for(
@@ -100,6 +143,14 @@ async def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--url", default="http://localhost:8876")
     ap.add_argument("--option", default="controlnet_interval")
+    ap.add_argument(
+        "--engine-option",
+        default=None,
+        help="A/B an engine-level knob via POST /debug/engine instead of a"
+        " per-stream option (e.g. output_format rgb vs i420); legs wait for"
+        " background compiles to drain before measuring",
+    )
+    ap.add_argument("--compile-wait", type=float, default=600.0)
     ap.add_argument("--a", default="1")
     ap.add_argument("--b", default="4")
     ap.add_argument("--pairs", type=int, default=10)
@@ -112,10 +163,14 @@ async def main() -> None:
     ap.add_argument("--out", default="/tmp/ab_pairs.jsonl")
     args = ap.parse_args()
 
-    # one warmup leg so ramp/compile effects don't pollute pair 1
+    # one warmup leg per value: triggers any cold background compile for
+    # that variant's buckets (then _wait_compiles drains it) and removes
+    # ramp effects from pair 1
     wa = argparse.Namespace(**vars(args))
     wa.seconds = args.warmup_seconds
-    await _leg(wa, args.a)
+    for v in (args.a, args.b):
+        w = await _leg(wa, v)
+        print(json.dumps({"warmup": v, "leg": w}))
 
     for i in range(args.pairs):
         # alternate leg ORDER across pairs so a monotonically drifting
@@ -124,7 +179,12 @@ async def main() -> None:
         legs = []
         for v in order:
             legs.append(await _leg(args, v))
-        rec = {"pair": i, "option": args.option, "ts": time.time()}
+        rec = {
+            "pair": i,
+            "option": args.engine_option or args.option,
+            "engine_level": bool(args.engine_option),
+            "ts": time.time(),
+        }
         ok = all(l and "gen_fps" in l for l in legs)
         if ok:
             emas = [l["device_ema_post"] for l in legs]

@@ -46,6 +46,7 @@ SLOW_MODULES = {
     "test_parallel",
     "test_server",
     "test_from_pretrained",
+    "test_multimodel",
 }
 
 

@@ -400,8 +400,9 @@ def test_prompt_cache_lru_eviction():
         eng._encode_prompt(f"p{i}")
     eng._encode_prompt("p0")  # LRU touch
     eng._encode_prompt("p4")  # must evict p1 (oldest untouched), only p1
-    assert "p0" in eng._prompt_cache and "p4" in eng._prompt_cache
-    assert "p1" not in eng._prompt_cache
+    # cache keys are (model, prompt); "" = the default checkpoint
+    assert ("", "p0") in eng._prompt_cache and ("", "p4") in eng._prompt_cache
+    assert ("", "p1") not in eng._prompt_cache
     assert len(eng._prompt_cache) == 4
 
 

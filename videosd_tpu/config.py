@@ -60,6 +60,12 @@ _OPTION_COERCIONS = {
     # compiles a new program variant (served via nearest-ready fallback
     # meanwhile, like the steps slider).
     "controlnet_interval": int,
+    # named checkpoint from the server's `models:` registry ("" = the
+    # config default).  Same-family checkpoints share every compiled
+    # program (params are a program ARGUMENT), so switching models live
+    # never recompiles — batches simply group per model.  The reference
+    # serves exactly one checkpoint per process (videopipeline.py:49-72).
+    "model": str,
 }
 
 _OPTION_DEFAULTS = {
@@ -232,6 +238,16 @@ class ServerConfig:
     # cost, and hot-swapped checkpoints re-fuse the same adapters.
     lora: Any = None
     lora_scale: float = 1.0
+    # named EXTRA checkpoints served alongside the default model: a
+    # mapping of name -> HF repo/path (or {model, controlnet, lora,
+    # lora_scale} for per-entry overrides).  All entries must be the same
+    # `family`/`dtype` as the default — their param trees then match the
+    # serving bundle tensor-for-tensor, every compiled frame program is
+    # REUSED across models (params are an argument, not a constant), and
+    # streams pick per-frame via the live "model" option.  Costs one
+    # param tree of HBM per entry (~2.7 GB for SD1.5 bf16).  The
+    # reference needs one GPU-pinned actor pool per checkpoint.
+    models: dict = dataclasses.field(default_factory=dict)
     # server-side overrides of the per-stream option DEFAULTS (merged
     # under each new stream's init options, which still win): lets a
     # deployment default e.g. `controlnet_interval: 4` (turbo) or a house
@@ -265,6 +281,41 @@ class ServerConfig:
             if not isinstance(cfg.option_defaults, dict):
                 raise ValueError("option_defaults must be a mapping")
             cfg.option_defaults = coerce_options(cfg.option_defaults)
+        if cfg.models:
+            if not isinstance(cfg.models, dict):
+                raise ValueError("models must be a mapping of name -> spec")
+            norm: dict[str, dict] = {}
+            for name, spec in cfg.models.items():
+                name = str(name)
+                if not name or name.lower() == "default":
+                    raise ValueError(
+                        "models: entry names must be non-empty and not"
+                        f" 'default' (got {name!r}); the default checkpoint"
+                        " is the top-level `model` key"
+                    )
+                if isinstance(spec, str):
+                    spec = {"model": spec}
+                if not isinstance(spec, dict) or not spec.get("model"):
+                    raise ValueError(
+                        f"models[{name!r}] must be a repo/path string or a"
+                        " mapping with a 'model' key"
+                    )
+                entry = {
+                    "model": str(spec["model"]),
+                    # default: the server's controlnet (same conditioning
+                    # tower unless the entry overrides it)
+                    "controlnet": spec.get("controlnet", cfg.controlnet),
+                    "lora": spec.get("lora"),
+                }
+                if entry["lora"]:
+                    from videosd_tpu.io.lora import normalize_lora_setting
+
+                    entry["lora"] = normalize_lora_setting(
+                        entry["lora"],
+                        float(spec.get("lora_scale", cfg.lora_scale)),
+                    )
+                norm[name] = entry
+            cfg.models = norm
         if cfg.mesh_data is None:
             cfg.mesh_data = max(1, cfg.gpus // max(1, cfg.mesh_model))
         elif cfg.mesh_data * max(1, cfg.mesh_model) != max(1, cfg.gpus):

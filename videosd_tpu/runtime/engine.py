@@ -67,7 +67,7 @@ class StreamState:
         self.blend_left = 0
         self.blend_total = 0  # captured at fade start: a live change to
         # prompt_blend_frames mid-fade must not jump the interpolant
-        self._last_prompt: str | None = None
+        self._last_prompt: tuple | None = None  # (model, prompt) fade key
 
     def similar_to_last(self, frame: np.ndarray, threshold: float) -> bool:
         """Stochastic-similarity-style skip (StreamDiffusion idea): when the
@@ -178,10 +178,18 @@ class Engine:
         # at a time — a wholesale clear() would drop every active stream's
         # embeddings at once and trigger a re-encode burst on the dispatch
         # thread
-        self._prompt_cache: collections.OrderedDict[str, Any] = (
+        self._prompt_cache: collections.OrderedDict[tuple, Any] = (
             collections.OrderedDict()
         )
         self._prompt_cache_max = 256
+        # named EXTRA checkpoints (config `models:`) served alongside the
+        # default bundle.  Same family/dtype -> identical param-tree
+        # structure -> every compiled program is shared (params are an
+        # argument); batches group per model (see _batch_loop).  Lazy:
+        # loaded on first use or via load_models() at startup.
+        self._extra_bundles: dict[str, Any] = {}
+        self._extra_mesh_params: dict[str, Any] = {}
+        self._extra_lock = threading.Lock()
         self._encoder = None
         self._loop_task: asyncio.Task | None = None
         # all hot-path program executions go through ONE dispatch thread:
@@ -306,39 +314,7 @@ class Engine:
 
             params = quantize_bundle_params(params)
 
-        # graft the new leaves into the SERVING treedef by path: programs
-        # were traced against the serving tree's structure, so the swapped
-        # dict must keep it exactly (jit caches on pytree structure) —
-        # and converted checkpoints legitimately omit keys that random
-        # init creates structurally empty (see io/weights.py note), so
-        # matching leaves-by-path is the correct equivalence, not treedef
-        # equality.
-        cur_paths = jax.tree_util.tree_flatten_with_path(self.bundle.params)[0]
-        cur_def = jax.tree_util.tree_structure(self.bundle.params)
-        new_by_path = dict(jax.tree_util.tree_flatten_with_path(params)[0])
-        missing = [p for p, _ in cur_paths if p not in new_by_path]
-        extra = set(new_by_path) - {p for p, _ in cur_paths}
-        if missing or extra:
-            raise ValueError(
-                f"param tree differs from the serving bundle: "
-                f"{len(missing)} serving tensors missing from the new tree "
-                f"(first: {missing[:2]}), {len(extra)} unknown"
-            )
-        bad = [
-            p
-            for p, a in cur_paths
-            if tuple(a.shape) != tuple(new_by_path[p].shape)
-            or str(a.dtype) != str(new_by_path[p].dtype)
-        ]
-        if bad:
-            raise ValueError(
-                f"{len(bad)}/{len(cur_paths)} tensors differ in shape/dtype "
-                f"from the serving bundle (first: {bad[:2]}; same family + "
-                "dtype required for a zero-recompile swap)"
-            )
-        params = jax.tree_util.tree_unflatten(
-            cur_def, [new_by_path[p] for p, _ in cur_paths]
-        )
+        params = self._graft_like_serving(params)
         if self.mesh is not None:
             from videosd_tpu.parallel.mesh import shard_params
 
@@ -398,6 +374,158 @@ class Engine:
                 self._mesh_params = shard_params(self.bundle.params, self.mesh)
             return self._mesh_params
         return self.bundle.params
+
+    # ------------------------------------------------ multi-model registry
+
+    def _graft_like_serving(self, params: dict) -> dict:
+        """Validate + graft a param tree into the SERVING treedef by leaf
+        path: programs were traced against the serving tree's structure, so
+        any tree they run with must keep it exactly (jit caches on pytree
+        structure) — and converted checkpoints legitimately omit keys that
+        random init creates structurally empty (see io/weights.py note), so
+        matching leaves-by-path is the correct equivalence, not treedef
+        equality.  Raises ValueError on any structural/shape/dtype drift."""
+        import jax
+
+        cur_paths = jax.tree_util.tree_flatten_with_path(self.bundle.params)[0]
+        cur_def = jax.tree_util.tree_structure(self.bundle.params)
+        new_by_path = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+        missing = [p for p, _ in cur_paths if p not in new_by_path]
+        extra = set(new_by_path) - {p for p, _ in cur_paths}
+        if missing or extra:
+            raise ValueError(
+                f"param tree differs from the serving bundle: "
+                f"{len(missing)} serving tensors missing from the new tree "
+                f"(first: {missing[:2]}), {len(extra)} unknown"
+            )
+        bad = [
+            p
+            for p, a in cur_paths
+            if tuple(a.shape) != tuple(new_by_path[p].shape)
+            or str(a.dtype) != str(new_by_path[p].dtype)
+        ]
+        if bad:
+            raise ValueError(
+                f"{len(bad)}/{len(cur_paths)} tensors differ in shape/dtype "
+                f"from the serving bundle (first: {bad[:2]}; same family + "
+                "dtype required for a zero-recompile swap)"
+            )
+        return jax.tree_util.tree_unflatten(
+            cur_def, [new_by_path[p] for p, _ in cur_paths]
+        )
+
+    @property
+    def model_names(self) -> list[str]:
+        """Registry names a stream's "model" option may select ("" is the
+        config default checkpoint and always valid)."""
+        return sorted((getattr(self.config, "models", None) or {}).keys())
+
+    def load_models(self) -> None:
+        """Eagerly resolve every configured extra checkpoint (server
+        startup calls this so the first stream that asks for one doesn't
+        pay the load)."""
+        for name in self.model_names:
+            self._extra_bundle(name)
+
+    def _extra_bundle(self, name: str):
+        """Bundle for a named registry entry, loaded once.  Weight
+        resolution mirrors the default bundle (local HF cache via
+        io/discovery, LOUD random-init fallback — each entry gets a
+        distinct init seed so even weightless A/Bs differ); the tree is
+        grafted into the serving treedef so every compiled program can run
+        it as a drop-in params argument."""
+        entry = (getattr(self.config, "models", None) or {}).get(name)
+        if entry is None:
+            raise KeyError(f"unknown model {name!r}; configured: "
+                           f"{self.model_names}")
+        with self._extra_lock:
+            bundle = self._extra_bundles.get(name)
+            if bundle is not None:
+                return bundle
+            import dataclasses as _dc
+            import zlib
+
+            import jax.numpy as jnp
+
+            from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+
+            log = logging.getLogger("videosd_tpu.engine")
+            family = self.config.family
+            dtype = (
+                jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+            )
+            resolved = None
+            setting = str(getattr(self.config, "weights", "random") or "random")
+            if setting.lower() != "random" and not family.startswith("tiny"):
+                from videosd_tpu.io.discovery import resolve_weights
+
+                # named entries resolve their own repos; "auto" discovery
+                # only (an explicit path in `weights` means the DEFAULT
+                # checkpoint, not every registry entry)
+                resolved = resolve_weights(
+                    entry["model"], controlnet=entry["controlnet"], setting="auto"
+                )
+            if resolved is not None:
+                log.info("models[%s]: loading %s", name, resolved["model_dir"])
+                bundle = ModelBundle.from_pretrained(
+                    resolved["model_dir"],
+                    family=family,
+                    controlnet_dir=resolved["controlnet_dir"],
+                    taesd_dir=resolved["taesd_dir"],
+                    dtype=dtype,
+                    with_controlnet=True,
+                )
+            else:
+                log.info(
+                    "models[%s]: no cached snapshot of %r — RANDOM-INIT "
+                    "weights (distinct per-entry seed)",
+                    name,
+                    entry["model"],
+                )
+                bundle = ModelBundle.random(
+                    family,
+                    dtype=dtype,
+                    seed=1 + (zlib.crc32(name.encode()) & 0x7FFFFFFF),
+                )
+            bundle = _dc.replace(bundle)  # never mutate the shared cache
+            if entry.get("lora"):
+                from videosd_tpu.io.lora import fuse_bundle_loras
+
+                fuse_bundle_loras(bundle, entry["lora"])
+            if str(getattr(self.config, "quant", "none")).lower() == "int8":
+                from videosd_tpu.ops.quant import quantize_bundle_params
+
+                bundle.params = quantize_bundle_params(bundle.params)
+            bundle.params = self._graft_like_serving(bundle.params)
+            self._extra_bundles[name] = bundle
+            return bundle
+
+    def params_for(self, model: str):
+        """Params argument for a batch: "" (or unknown, which the group key
+        never produces) -> the default serving params; a registry name ->
+        that entry's tree, mesh-placed like the default when sharded."""
+        if not model:
+            return self.params
+        bundle = self._extra_bundle(model)
+        if self.mesh is not None:
+            placed = self._extra_mesh_params.get(model)
+            if placed is None:
+                from videosd_tpu.parallel.mesh import shard_params
+
+                placed = shard_params(bundle.params, self.mesh)
+                self._extra_mesh_params[model] = placed
+            return placed
+        return bundle.params
+
+    def _stream_model(self, st: StreamState) -> str:
+        """The validated registry name for a stream ("" = default).  An
+        unknown name serves the default checkpoint rather than erroring
+        mid-stream (the data channel ignores junk like the reference's
+        generic option merge, server.py:194-195)."""
+        name = str(st.options.get("model") or "")
+        if name and name not in (getattr(self.config, "models", None) or {}):
+            return ""
+        return name
 
     def start(self):
         if self._loop_task is None:
@@ -692,13 +820,17 @@ class Engine:
             parse_hlo_symbols(txt, symbols)
         return symbols
 
-    def _encode_prompt(self, prompt: str):
-        """-> (context_embeds, pooled_embeds), cached per prompt string.
+    def _encode_prompt(self, prompt: str, model: str = ""):
+        """-> (context_embeds, pooled_embeds), cached per (model, prompt):
+        the text tower's weights differ per checkpoint, so each registry
+        entry gets its own cache rows (the encoder PROGRAM is shared —
+        params are an argument).
 
         pooled is only consumed by SDXL-family programs (text_time
         micro-conditioning) but is cached unconditionally — it's a free
         byproduct of the encoder call."""
-        cached = self._prompt_cache.get(prompt)
+        ck = (model, prompt)
+        cached = self._prompt_cache.get(ck)
         if cached is None:
             import jax.numpy as jnp
 
@@ -706,13 +838,14 @@ class Engine:
 
             if self._encoder is None:
                 self._encoder = build_prompt_encoder(self.bundle)
-            ids = jnp.asarray(self.bundle.tokenizer([prompt]), jnp.int32)
-            cached = self._encoder(self.params, ids)
+            bundle = self._extra_bundle(model) if model else self.bundle
+            ids = jnp.asarray(bundle.tokenizer([prompt]), jnp.int32)
+            cached = self._encoder(self.params_for(model), ids)
             while len(self._prompt_cache) >= self._prompt_cache_max:
                 self._prompt_cache.popitem(last=False)  # LRU-evict oldest
-            self._prompt_cache[prompt] = cached
+            self._prompt_cache[ck] = cached
         else:
-            self._prompt_cache.move_to_end(prompt)
+            self._prompt_cache.move_to_end(ck)
         return cached
 
     def _stream_embeds(self, st: StreamState):
@@ -724,9 +857,10 @@ class Engine:
         (single-dispatch-thread invariant, runtime/dispatch.py).  Cache
         lookups only; the crossfade math runs in host numpy on snapshots."""
         prompt = str(st.options["prompt"])
-        target = self._prompt_cache.get(prompt)
+        ck = (self._stream_model(st), prompt)
+        target = self._prompt_cache.get(ck)
         if target is not None:
-            self._prompt_cache.move_to_end(prompt)
+            self._prompt_cache.move_to_end(ck)
         elif st.current_emb is not None:
             # prompt mutated between the dispatcher pre-encode and this
             # pack (rare): serve the previous embedding this tick instead
@@ -736,9 +870,11 @@ class Engine:
         else:
             # brand-new stream whose prompt mutated inside the same window
             # — nothing older to serve; one-off encode.
-            target = self._encode_prompt(prompt)
+            target = self._encode_prompt(prompt, ck[0])
         blend = int(st.options.get("prompt_blend_frames", 0) or 0)
-        if st._last_prompt is not None and prompt != st._last_prompt and blend > 0:
+        # fade key = (model, prompt): a live model switch crossfades in
+        # embedding space exactly like a prompt change
+        if st._last_prompt is not None and ck != st._last_prompt and blend > 0:
             prev = st.current_emb if st.current_emb is not None else target
             # host snapshot at fade start (bounded D2H; fades are rare)
             st.blend_from = tuple(
@@ -746,7 +882,7 @@ class Engine:
             )
             st.blend_total = blend  # capture: live slider moves mid-fade
             st.blend_left = blend  # must not jump the interpolant
-        st._last_prompt = prompt
+        st._last_prompt = ck
         if st.blend_left > 0 and st.blend_from is not None and st.blend_total:
             t = 1.0 - st.blend_left / st.blend_total
             st.blend_left -= 1
@@ -854,6 +990,35 @@ class Engine:
                 abs(s.controlnet_interval - spec.controlnet_interval),
             ),
         )
+
+    def _load_model_background(self, name: str):
+        """Resolve a cold `models:` registry entry off the serving loop
+        (host-side checkpoint conversion can take minutes); batches that
+        ask for it meanwhile serve the default params — the model-load
+        analog of a cold bucket's nearest-ready fallback."""
+        marker = ("model-load", name)
+        if marker in self._compiling:
+            return
+        self._compiling.add(marker)
+        logging.getLogger("videosd_tpu.engine").info(
+            "loading models[%s] in background (serving default checkpoint "
+            "meanwhile)", name,
+        )
+
+        def work():
+            try:
+                self._extra_bundle(name)
+            except Exception:
+                logging.getLogger("videosd_tpu.engine").exception(
+                    "background model load failed for %r", name
+                )
+            finally:
+                self._compiling.discard(marker)
+
+        t = threading.Thread(target=work, name="model-load", daemon=True)
+        self._bg_threads = {th for th in self._bg_threads if th.is_alive()}
+        self._bg_threads.add(t)
+        t.start()
 
     def _compile_spec_background(self, loop, spec, ref_mode: bool):
         """Warm (compile + one dummy run of) a spec off the dispatch path."""
@@ -996,9 +1161,14 @@ class Engine:
         pooled_embeds=None,
         src_box=None,
         ref_box=None,
+        params=None,
     ):
         """Enqueue one batch on the device (JAX async dispatch — returns
         device arrays immediately without waiting for results).
+
+        ``params``: the param tree to run with (None = the default serving
+        params) — how a `models:` registry batch selects its checkpoint
+        while REUSING this spec's compiled program.
 
         ``embeds``/``pooled_embeds`` may be lists of per-stream arrays and
         ``warm_latents`` a list of device-resident rows (or None) — the
@@ -1029,6 +1199,8 @@ class Engine:
             )
         prog = self._get_program(spec, ref_mode=ref_mode)
         key = (spec, ref_mode)
+        if params is None:
+            params = self.params
         if ref_mode:
             kwargs = {}
             if pooled_embeds is not None:
@@ -1037,12 +1209,12 @@ class Engine:
                 kwargs["src_box"] = src_box
                 kwargs["ref_box"] = ref_box
             args = (
-                self.params, frames, ref_frames, embeds,
+                params, frames, ref_frames, embeds,
                 strength, guidance, scale, seed,
             )
             self._capture_shapes(key, args, kwargs)
             out, latents = prog(
-                self.params,
+                params,
                 frames,
                 ref_frames,
                 embeds,
@@ -1062,11 +1234,11 @@ class Engine:
             if src_box is not None:
                 kwargs["src_box"] = src_box
             args = (
-                self.params, frames, embeds, strength, guidance, scale, seed,
+                params, frames, embeds, strength, guidance, scale, seed,
             )
             self._capture_shapes(key, args, kwargs)
             out, latents = prog(
-                self.params, frames, embeds, strength, guidance, scale, seed,
+                params, frames, embeds, strength, guidance, scale, seed,
                 **kwargs,
             )
             out = self._maybe_pack_i420(out)
@@ -1268,6 +1440,8 @@ class Engine:
                 ready.extend(self._collect_ready())
 
             # group by shape/mode bucket (steps, h, w, ref, controlnet)
+            # and by checkpoint — different models can't share one batch
+            # (their params differ) but DO share the compiled program
             groups: dict[Any, list] = {}
             for st, buf, ts in ready:
                 h, w = self._snap_resolution(
@@ -1280,6 +1454,7 @@ class Engine:
                     bool(st.options.get("ref")),
                     bool(st.options.get("controlnet", True)),
                     max(1, int(st.options.get("controlnet_interval", 1) or 1)),
+                    self._stream_model(st),
                 )
                 groups.setdefault(key, []).append((st, buf, ts))
 
@@ -1305,7 +1480,7 @@ class Engine:
 
         from videosd_tpu.pipelines.lcm_img2img import FrameSpec
 
-        (steps, h, w, ref_mode, use_cn, cn_interval) = key
+        (steps, h, w, ref_mode, use_cn, cn_interval, model) = key
         b = self._bucket_batch(len(items))
         spec = FrameSpec(
             batch=b,
@@ -1391,15 +1566,18 @@ class Engine:
             # thread).  Converges because mutations are human-rate.
             while True:
                 missing = {
-                    str(st.options["prompt"])
+                    (self._stream_model(st), str(st.options["prompt"]))
                     for st, _buf, _ts in items
-                    if str(st.options["prompt"]) not in self._prompt_cache
+                    if (self._stream_model(st), str(st.options["prompt"]))
+                    not in self._prompt_cache
                 }
                 if not missing:
                     break
-                for pr in missing:
+                for mdl, pr in missing:
                     await self._get_dispatcher().run(
-                        loop, _ft.partial(self._encode_prompt, pr), lambda r: None
+                        loop,
+                        _ft.partial(self._encode_prompt, pr, mdl),
+                        lambda r: None,
                     )
         except Exception:
             logging.getLogger("videosd_tpu.engine").exception(
@@ -1498,12 +1676,22 @@ class Engine:
             )
             import functools
 
+            run_kw = {}
+            if model:
+                if model not in self._extra_bundles:
+                    # cold registry entry: loading converts a checkpoint on
+                    # host (potentially minutes) — serve THIS batch on the
+                    # default params and warm the entry off-loop, the same
+                    # stall-avoidance shape as a cold bucket compile
+                    self._load_model_background(model)
+                else:
+                    run_kw["params"] = self.params_for(model)
             if "_run_bucket_sync" in self.__dict__:
                 # a test monkeypatched the seam: run its whole function on
                 # the dispatch thread (serialized; fine for tests)
                 out, latents = await self._get_dispatcher().run(
                     loop,
-                    functools.partial(self._run_bucket_sync, *run_args),
+                    functools.partial(self._run_bucket_sync, *run_args, **run_kw),
                     lambda raw: raw,
                 )
             else:
@@ -1511,7 +1699,7 @@ class Engine:
                 # pipelining without multi-threaded runtime access
                 out, latents = await self._get_dispatcher().run(
                     loop,
-                    functools.partial(self._dispatch_bucket, *run_args),
+                    functools.partial(self._dispatch_bucket, *run_args, **run_kw),
                     self._finalize_bucket,
                 )
         except Exception:
@@ -1571,6 +1759,11 @@ class Engine:
             else {"data": 1, "model": 1}
         )
         s["weights_source"] = self.weights_source  # None = random init
+        if self.model_names:
+            s["models"] = {
+                name: ("loaded" if name in self._extra_bundles else "cold")
+                for name in self.model_names
+            }
         loras = getattr(self.config, "lora", None) or []
         if loras:
             s["lora"] = [{"path": p, "scale": sc} for p, sc in loras]

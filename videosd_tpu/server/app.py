@@ -474,6 +474,13 @@ async def debug_memory_handler(request: web.Request) -> web.Response:
 async def _on_startup(app: web.Application):
     engine: Engine = app["engine"]
     engine.start()
+    if engine.model_names:
+        # resolve the `models:` registry off-loop at boot so the first
+        # stream that selects one doesn't ride the default checkpoint
+        # while it lazy-loads (engine._load_model_background)
+        await asyncio.get_running_loop().run_in_executor(
+            None, engine.load_models
+        )
     if app["config"].compile:
         # AOT-warm the hot buckets so first frames don't hit compile stalls
         # (the reference's `compile` flag / compile_model warmup analog,
