@@ -904,3 +904,56 @@ def test_background_compile_concurrency_cap():
     asyncio.run(run())
     assert live["total"] == 5
     assert live["peak"] <= 2, live["peak"]
+
+
+def test_pipelined_streams_never_duplicate_rows(rng):
+    """A stream whose resubmit lands during the fill window REPLACES its
+    stale row (latest-wins inside the window, like the mailbox): 4
+    pipelined clients must never inflate a batch beyond 4 rows — before
+    the fix, duplicate rows pushed groups into a phantom batch-8 bucket
+    whose cold compile stalled live deployments."""
+    import time as _time
+
+    async def run():
+        eng = _mk_engine()
+        eng.warmup(batch_sizes=(1, 2, 4), steps=(1,), height=32, width=32)
+        served: list[int] = []
+        orig = eng._run_bucket_sync
+
+        def spy(spec, ref_mode, *a, **k):
+            served.append(spec.batch)
+            _time.sleep(0.15)  # busy device: arrivals pile into the window
+            return orig(spec, ref_mode, *a, **k)
+
+        eng._run_bucket_sync = spy
+        eng.start()
+        try:
+            sts = [
+                eng.open_stream(
+                    {"height": 32, "width": 32, "steps": 1, "prompt": f"p{i}"}
+                )
+                for i in range(4)
+            ]
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+
+            async def pipelined_client(st, n=8, inflight=2):
+                pending = []
+                for _ in range(n):
+                    pending.append(
+                        asyncio.create_task(
+                            eng.submit_frame(st.stream_id, frame)
+                        )
+                    )
+                    if len(pending) >= inflight:
+                        await pending.pop(0)
+                    await asyncio.sleep(0.01)
+                await asyncio.gather(*pending)
+
+            await asyncio.wait_for(
+                asyncio.gather(*[pipelined_client(st) for st in sts]), 120
+            )
+            assert served and max(served) <= 4, served
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())

@@ -1437,7 +1437,26 @@ class Engine:
                 if now >= hard_cap:
                     break
                 await asyncio.sleep(0.001)
-                ready.extend(self._collect_ready())
+                more = self._collect_ready()
+                if more:
+                    # latest-wins INSIDE the fill window too: a stream
+                    # whose resubmit lands while we wait REPLACES its
+                    # stale row (the mailbox's drop semantics).  Appending
+                    # instead would put two rows of one stream in the
+                    # batch — wasted device rows, and 4 pipelined streams
+                    # could inflate into a phantom batch-8 bucket whose
+                    # compile stalls real deployments (observed live).
+                    by_sid = {
+                        st.stream_id: i for i, (st, _b, _t) in enumerate(ready)
+                    }
+                    for st, buf, ts in more:
+                        i = by_sid.get(st.stream_id)
+                        if i is None:
+                            by_sid[st.stream_id] = len(ready)
+                            ready.append((st, buf, ts))
+                        else:
+                            ready[i] = (st, buf, ts)
+                            self.telemetry.frames_dropped += 1
 
             # group by shape/mode bucket (steps, h, w, ref, controlnet)
             # and by checkpoint — different models can't share one batch
