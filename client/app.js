@@ -25,6 +25,7 @@ const defaults = {
   controlnet: true,
   controlnet_scale: 2,
   controlnet_interval: 1,
+  model: "",
   width: 512,
   height: 512,
 };
@@ -80,6 +81,9 @@ for (const id of ["steps", "strength", "guidance_scale", "controlnet_scale", "co
   });
 }
 $("seed").addEventListener("change", (e) => sendOption("seed", parseInt(e.target.value || "0", 10)));
+// named checkpoint from the server's models: registry ("" = default);
+// the datalist fills from /stats.models while polling runs
+$("model").addEventListener("change", (e) => sendOption("model", e.target.value.trim()));
 $("controlnet").addEventListener("change", (e) => sendOption("controlnet", e.target.checked));
 $("ref").addEventListener("change", (e) => sendOption("ref", e.target.checked));
 $("setRefBtn").addEventListener("click", () => sendOption("set_ref", true));
@@ -315,6 +319,11 @@ function renderStats(s) {
   ];
   for (const [k, v] of Object.entries(s.stages || {})) {
     rows.push(["stage " + k, (v * 1e3).toFixed(2) + " ms"]);
+  }
+  if (s.models) {
+    rows.push(["models", Object.entries(s.models).map(([n, st]) => `${n} (${st})`).join(", ")]);
+    $("modelList").innerHTML =
+      Object.keys(s.models).map((n) => `<option value="${n}">`).join("");
   }
   $("statsTable").querySelector("tbody").innerHTML = rows
     .map(([k, v]) =>

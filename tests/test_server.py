@@ -805,3 +805,85 @@ def test_warm_spec_subprocess_cache_handoff(tmp_path, monkeypatch):
     # failure path: an unbuildable request must return False, not raise
     bad = FrameSpec(batch=0, height=32, width=32, steps=1)
     assert engine._warm_spec_subprocess(bad, ref_mode=False) is False
+
+
+def test_ws_model_option_full_stack(rng):
+    """The live "model" option through the WHOLE server stack: a stream on
+    a `models:` registry entry gets that checkpoint's pixels, /stats
+    reports the registry, and flipping back restores the default
+    bit-exact (zero recompiles — programs are shared across models)."""
+
+    async def run():
+        import jax.numpy as jnp
+
+        from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+        from videosd_tpu.runtime.engine import Engine
+        from videosd_tpu.server.app import create_app
+
+        cfg = ServerConfig.from_dict(
+            {
+                "family": "tiny",
+                "dtype": "float32",
+                "weights": "random",
+                "models": {"alt": "repo/alt"},
+            }
+        )
+        engine = Engine(
+            cfg,
+            bundle=ModelBundle.random("tiny", dtype=jnp.float32),
+            max_streams=4,
+            max_batch=2,
+            deadline_ms=5,
+            frame_hw=(32, 32),
+        )
+        engine.load_models()
+        app = create_app(cfg, engine=engine)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect("/ws")
+            await ws.send_str(
+                json.dumps(
+                    {
+                        "type": "init",
+                        "options": {
+                            "height": 32, "width": 32, "steps": 1, "seed": 7,
+                        },
+                    }
+                )
+            )
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            payload = struct.pack("<HH", 32, 32) + frame.tobytes()
+
+            async def shot():
+                # resubmit until output is real (non-black) and stable
+                last = None
+                for _ in range(300):
+                    await ws.send_bytes(payload)
+                    msg = await asyncio.wait_for(ws.receive(), timeout=180)
+                    assert msg.type.name == "BINARY"
+                    out = np.frombuffer(msg.data[4:], np.uint8).reshape(32, 32, 3)
+                    if last is not None and np.array_equal(out, last) and out.any():
+                        return out
+                    last = out
+                    await asyncio.sleep(0.05)
+                raise TimeoutError("no stable generation")
+
+            out_def = await shot()
+            await ws.send_str(json.dumps({"type": "prompt", "model": "alt"}))
+            out_alt = await shot()
+            assert (
+                np.abs(out_alt.astype(int) - out_def.astype(int)).max() > 0
+            ), "alt checkpoint served identical pixels through the server"
+            await ws.send_str(json.dumps({"type": "prompt", "model": ""}))
+            out_back = await shot()
+            np.testing.assert_array_equal(out_back, out_def)
+
+            r = await client.get("/stats")
+            stats = await r.json()
+            assert stats["models"] == {"alt": "loaded"}
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.run(run())
