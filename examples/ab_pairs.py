@@ -134,8 +134,14 @@ async def _leg(args, value) -> dict | None:
         leg["gen_fps"] = round(
             (int(post["frames_out"]) - int(pre["frames_out"])) / wall, 2
         )
-        leg["device_ema_pre"] = round(float(pre["stages"]["device"]), 3)
-        leg["device_ema_post"] = round(float(post["stages"]["device"]), 3)
+        # device-stage EMA brackets window health; absent on an idle
+        # server that has not generated yet (warmup leg 1)
+        dev_pre = (pre.get("stages") or {}).get("device")
+        dev_post = (post.get("stages") or {}).get("device")
+        if dev_pre is not None:
+            leg["device_ema_pre"] = round(float(dev_pre), 3)
+        if dev_post is not None:
+            leg["device_ema_post"] = round(float(dev_post), 3)
     return leg
 
 
@@ -185,7 +191,7 @@ async def main() -> None:
             "engine_level": bool(args.engine_option),
             "ts": time.time(),
         }
-        ok = all(l and "gen_fps" in l for l in legs)
+        ok = all(l and "device_ema_post" in l for l in legs)
         if ok:
             emas = [l["device_ema_post"] for l in legs]
             ratio = max(emas) / max(1e-9, min(emas))
