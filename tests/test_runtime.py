@@ -906,6 +906,84 @@ def test_background_compile_concurrency_cap():
     assert live["peak"] <= 2, live["peak"]
 
 
+@pytest.mark.slow
+def test_engine_option_churn_fuzz(rng):
+    """Randomized live-option churn across 4 concurrent streams (the
+    data-channel protocol under an adversarial client, server.py:167-197).
+
+    Invariants: traced options (floats, seed, prompt) never add compiled
+    programs; bucket-keyed churn (steps, controlnet off) keeps every
+    submit resolving via the nearest-ready fallback; every stream keeps
+    seeing real generations; shutdown is clean."""
+    import random as _random
+
+    fuzz = _random.Random(0)
+    prompts = ["a", "b", "c", "watercolor skyline"]
+
+    def traced_mutation():
+        return fuzz.choice(
+            [
+                lambda: {"strength": round(fuzz.uniform(0.05, 1.0), 3)},
+                lambda: {"guidance_scale": round(fuzz.uniform(0.0, 12.0), 2)},
+                lambda: {"controlnet_scale": round(fuzz.uniform(0.05, 3.0), 2)},
+                lambda: {"seed": fuzz.randrange(0, 10_000)},
+                lambda: {"prompt": fuzz.choice(prompts)},
+                lambda: {"prompt_blend_frames": fuzz.choice([0, 2, 5])},
+            ]
+        )()
+
+    async def run():
+        eng = _mk_engine()
+        eng.warmup(batch_sizes=(1, 2, 4), steps=(1,), height=32, width=32)
+        eng.start()
+        try:
+            sts = [
+                eng.open_stream(
+                    {"height": 32, "width": 32, "steps": 1, "prompt": f"p{i}"}
+                )
+                for i in range(4)
+            ]
+
+            async def churn(st, n, bucket_keyed: bool):
+                for _ in range(n):
+                    frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                    msg = traced_mutation()
+                    if bucket_keyed and fuzz.random() < 0.3:
+                        msg = fuzz.choice(
+                            [{"steps": 2}, {"steps": 1}, {"controlnet": False},
+                             {"controlnet": True}]
+                        )
+                    eng.update_options(st.stream_id, msg)
+                    out = await asyncio.wait_for(
+                        eng.submit_frame(st.stream_id, frame), 120
+                    )
+                    assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+
+            # phase 1: traced-only churn -> ZERO new programs
+            warmed = len(eng._programs)
+            await asyncio.wait_for(
+                asyncio.gather(*[churn(st, 15, False) for st in sts]), 300
+            )
+            assert len(eng._programs) == warmed, (
+                "traced option churn recompiled",
+                sorted(eng._programs),
+            )
+            gen_after_p1 = eng.telemetry.frames_out
+            assert gen_after_p1 > 0
+
+            # phase 2: bucket-keyed churn mixed in -> serving never blocks
+            # (nearest-ready fallback while fresh buckets compile in the
+            # background), and generation keeps advancing
+            await asyncio.wait_for(
+                asyncio.gather(*[churn(st, 10, True) for st in sts]), 300
+            )
+            assert eng.telemetry.frames_out > gen_after_p1
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
+
+
 def test_pipelined_streams_never_duplicate_rows(rng):
     """A stream whose resubmit lands during the fill window REPLACES its
     stale row (latest-wins inside the window, like the mailbox): 4
