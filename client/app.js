@@ -25,6 +25,7 @@ const defaults = {
   controlnet: true,
   controlnet_scale: 2,
   controlnet_interval: 1,
+  deepcache_interval: 1,
   model: "",
   width: 512,
   height: 512,
@@ -73,7 +74,7 @@ function sendOption(name, value) {
   }
 }
 
-for (const id of ["steps", "strength", "guidance_scale", "controlnet_scale", "controlnet_interval", "style_fidelity"]) {
+for (const id of ["steps", "strength", "guidance_scale", "controlnet_scale", "controlnet_interval", "deepcache_interval", "style_fidelity"]) {
   $(id).addEventListener("input", (e) => {
     const v = parseFloat(e.target.value);
     $(id + "-out").value = v;

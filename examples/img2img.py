@@ -51,6 +51,13 @@ def main(argv=None):
         help="evaluate ControlNet every k-th step, reusing residuals "
         "between (1 = reference parity)",
     )
+    p.add_argument(
+        "--deepcache-interval",
+        type=int,
+        default=1,
+        help="recompute the deep UNet trunk every k-th step (DeepCache), "
+        "re-evaluating only the shallow blocks between (1 = parity)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -98,6 +105,7 @@ def main(argv=None):
         steps=args.steps,
         use_controlnet="controlnet" in bundle.params,
         controlnet_interval=args.controlnet_interval,
+        deepcache_interval=args.deepcache_interval,
     )
     program = build_frame_program(bundle, spec)
     encoder = build_prompt_encoder(bundle)

@@ -98,6 +98,7 @@ async def stream_worker(
     promptgen_url: str | None = None,
     warm_alpha: float = 0.0,
     cn_interval: int = 1,
+    dc_interval: int = 1,
     extra_options: dict | None = None,
 ):
     """One camera stream.  ``inflight``: how many frames the client keeps
@@ -136,6 +137,8 @@ async def stream_worker(
                 opts["warm_alpha"] = warm_alpha
             if cn_interval != 1:
                 opts["controlnet_interval"] = cn_interval
+            if dc_interval != 1:
+                opts["deepcache_interval"] = dc_interval
             if extra_options:
                 opts.update(extra_options)
             await ws.send_str(json.dumps({"type": "init", "options": opts}))
@@ -196,6 +199,13 @@ async def main():
         help="controlnet_interval option for every stream (1 = reference"
         " parity; k>1 = opt-in turbo, see PERF.md)",
     )
+    ap.add_argument(
+        "--dc-interval",
+        type=int,
+        default=1,
+        help="deepcache_interval option for every stream (1 = reference"
+        " parity; k>1 reuses the deep UNet trunk between evals)",
+    )
     args = ap.parse_args()
     args.raw = args.raw or args.raw_i420
 
@@ -207,6 +217,7 @@ async def main():
             stream_worker(
                 args.url, s, frames, args.warmup_seconds, args.size, {},
                 args.inflight, args.raw, cn_interval=args.cn_interval,
+                dc_interval=args.dc_interval,
             )
             for s in range(args.streams)
         ]
@@ -238,6 +249,7 @@ async def main():
                 args.url, s, frames, args.seconds, args.size, results,
                 args.inflight, args.raw, args.mutate_every,
                 args.promptgen_url, args.warm_alpha, args.cn_interval,
+                args.dc_interval,
             )
             for s in range(args.streams)
         ]

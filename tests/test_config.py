@@ -28,6 +28,7 @@ def test_coercion_table_matches_reference():
         "ref": True,
         "controlnet": False,
         "prompt": "hello",
+        "deepcache_interval": "2",
     }
     out = coerce_options(msg)
     assert out == {
@@ -40,8 +41,10 @@ def test_coercion_table_matches_reference():
         "ref": True,
         "controlnet": False,
         "prompt": "hello",
+        "deepcache_interval": 2,
     }
     assert isinstance(out["steps"], int) and isinstance(out["strength"], float)
+    assert isinstance(out["deepcache_interval"], int)
 
 
 def test_unknown_keys_pass_through():

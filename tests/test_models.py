@@ -48,6 +48,74 @@ def test_unet_forward_shape(tiny_unet_params):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_unet_deepcache_split_is_exact(tiny_unet_params):
+    """The DeepCache split (unet.py deep_feature/return_deep_feature) must
+    reproduce the full forward BIT-EXACTLY when the shallow pass is fed
+    the deep feature captured from the SAME inputs — the shallow path
+    recomputes exactly conv_in/down0/up_last, so any disagreement means
+    the skip accounting or residual-add placement diverged."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 4)), jnp.float32)
+    t = jnp.array([10, 20], jnp.int32)
+    ctx = jnp.asarray(rng.normal(0, 1, (2, 7, TINY.cross_attention_dim)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 1, (2, TINY.time_cond_proj_dim)), jnp.float32)
+
+    full = unet_apply(tiny_unet_params, TINY, x, t, ctx, timestep_cond=w)
+    out, deep = unet_apply(
+        tiny_unet_params, TINY, x, t, ctx, timestep_cond=w, return_deep_feature=True
+    )
+    assert np.array_equal(np.asarray(full), np.asarray(out))
+    shallow = unet_apply(
+        tiny_unet_params, TINY, x, t, ctx, timestep_cond=w, deep_feature=deep
+    )
+    assert np.array_equal(np.asarray(full), np.asarray(shallow))
+
+    # with ControlNet residuals: the shallow pass consumes only the first
+    # layers_per_block+1 entries; equality must still hold
+    from videosd_tpu.models.controlnet import controlnet_apply, controlnet_init
+
+    cn = controlnet_init(jax.random.PRNGKey(5), TINY)
+    ctrl = jnp.asarray(rng.uniform(0, 1, (2, 128, 128, 3)), jnp.float32)
+    down_res, mid_res = controlnet_apply(
+        cn, TINY, x, t, ctx, ctrl, conditioning_scale=1.0, timestep_cond=w
+    )
+    # zero-init output convs make residuals vanish; shift them non-zero
+    down_res = [r + 0.1 for r in down_res]
+    mid_res = mid_res + 0.1
+    full = unet_apply(
+        tiny_unet_params, TINY, x, t, ctx, timestep_cond=w,
+        down_block_additional_residuals=down_res,
+        mid_block_additional_residual=mid_res,
+    )
+    _, deep = unet_apply(
+        tiny_unet_params, TINY, x, t, ctx, timestep_cond=w,
+        down_block_additional_residuals=down_res,
+        mid_block_additional_residual=mid_res,
+        return_deep_feature=True,
+    )
+    shallow = unet_apply(
+        tiny_unet_params, TINY, x, t, ctx, timestep_cond=w,
+        down_block_additional_residuals=down_res,
+        deep_feature=deep,
+    )
+    assert np.array_equal(np.asarray(full), np.asarray(shallow))
+
+
+def test_unet_deepcache_rejects_bank_modes(tiny_unet_params):
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.array([10], jnp.int32)
+    ctx = jnp.zeros((1, 7, TINY.cross_attention_dim))
+    w = jnp.zeros((1, TINY.time_cond_proj_dim))
+    _, deep = unet_apply(
+        tiny_unet_params, TINY, x, t, ctx, timestep_cond=w, return_deep_feature=True
+    )
+    with pytest.raises(ValueError):
+        unet_apply(
+            tiny_unet_params, TINY, x, t, ctx, timestep_cond=w,
+            deep_feature=deep, adain=lambda a: a,
+        )
+
+
 def test_unet_batch_and_res_invariance(tiny_unet_params):
     ctx = jnp.zeros((2, 7, TINY.cross_attention_dim))
     t = jnp.array([10, 20], jnp.int32)

@@ -282,6 +282,51 @@ def test_controlnet_interval_reuses_residuals(bundle, embeds, rng):
     assert np.abs(np.asarray(out2, int) - np.asarray(out1, int)).max() > 0
 
 
+def test_deepcache_interval_single_step_is_exact(bundle, embeds, rng):
+    """With a 1-step ladder every interval runs exactly one FULL UNet pass
+    (the capture step), so deepcache_interval>1 must be numerically
+    identical to the reference-parity interval=1 program."""
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    s1 = FrameSpec(batch=1, height=32, width=32, steps=1)
+    s4 = FrameSpec(batch=1, height=32, width=32, steps=1, deepcache_interval=4)
+    o1, _ = build_frame_program(bundle, s1)(bundle.params, frame, embeds, *_opts())
+    o4, _ = build_frame_program(bundle, s4)(bundle.params, frame, embeds, *_opts())
+    np.testing.assert_allclose(
+        np.asarray(o1, np.int32), np.asarray(o4, np.int32), atol=1
+    )
+
+
+def test_deepcache_interval_reuses_trunk(bundle, embeds, rng):
+    """steps=4 @ deepcache_interval=2 traces 2 full (capture) passes and 2
+    shallow passes, and its output differs from interval=1 (the stale
+    trunk approximation is real, not a silent no-op)."""
+    from videosd_tpu.pipelines import lcm_img2img as m
+
+    calls = {"full": 0, "shallow": 0}
+    orig = m.unet_apply
+
+    def counting(*a, **kw):
+        if kw.get("deep_feature") is not None:
+            calls["shallow"] += 1
+        else:
+            calls["full"] += 1
+        return orig(*a, **kw)
+
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    spec2 = FrameSpec(batch=1, height=32, width=32, steps=4, deepcache_interval=2)
+    spec1 = FrameSpec(batch=1, height=32, width=32, steps=4)
+    m.unet_apply = counting
+    try:
+        out2, _ = build_frame_program(bundle, spec2)(
+            bundle.params, frame, embeds, *_opts()
+        )
+    finally:
+        m.unet_apply = orig
+    assert calls == {"full": 2, "shallow": 2}, calls
+    out1, _ = build_frame_program(bundle, spec1)(bundle.params, frame, embeds, *_opts())
+    assert np.abs(np.asarray(out2, int) - np.asarray(out1, int)).max() > 0
+
+
 def test_controlnet_interval_keep_window(bundle, embeds, rng):
     """Interval mode still honors the reference keep-schedule
     (lcm_controlnet.py:521-529): with control_guidance_end excluding the

@@ -836,6 +836,30 @@ def test_engine_controlnet_interval_buckets(rng):
     asyncio.run(run())
 
 
+def test_engine_deepcache_interval_buckets(rng):
+    """The deepcache_interval option must reach the compiled FrameSpec
+    (bucket-keyed) and serve real frames through the turbo program."""
+
+    async def run():
+        eng = _mk_engine()
+        eng.start()
+        try:
+            st = eng.open_stream(
+                {"height": 32, "width": 32, "steps": 2, "deepcache_interval": 2}
+            )
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            out = await _first_real(eng, st, frame)
+            assert out.shape == (32, 32, 3)
+            assert any(
+                s.deepcache_interval == 2 and s.steps == 2
+                for s, _rm in eng._ready_specs
+            ), sorted((s.steps, s.deepcache_interval) for s, _ in eng._ready_specs)
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
+
+
 def test_engine_config_option_defaults_merge():
     """config option_defaults sit under each stream's init options (init
     wins; data-channel updates still apply on top)."""

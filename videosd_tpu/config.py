@@ -60,6 +60,12 @@ _OPTION_COERCIONS = {
     # compiles a new program variant (served via nearest-ready fallback
     # meanwhile, like the steps slider).
     "controlnet_interval": int,
+    # DeepCache interval (1 = full UNet every step, reference parity;
+    # k>1 reuses the deep UNet trunk between evals, recomputing only the
+    # shallow high-res blocks — see FrameSpec.deepcache_interval).
+    # Bucket-keyed like controlnet_interval: changing it compiles a new
+    # program variant, served via nearest-ready fallback meanwhile.
+    "deepcache_interval": int,
     # named checkpoint from the server's `models:` registry ("" = the
     # config default).  Same-family checkpoints share every compiled
     # program (params are a program ARGUMENT), so switching models live

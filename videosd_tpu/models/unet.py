@@ -669,6 +669,8 @@ def unet_apply(
     bank=None,
     bank_out=None,
     adain=None,
+    deep_feature=None,
+    return_deep_feature: bool = False,
 ):
     """UNet forward.
 
@@ -678,6 +680,19 @@ def unet_apply(
     stack exactly where diffusers adds them (lcm_controlnet.py:568-577).
     bank/bank_out: reference-attention read/write state (see
     videosd_tpu/pipelines/reference_attn.py).
+
+    deep_feature / return_deep_feature: DeepCache-style split (Ma et al.,
+    arXiv:2312.00858 — a public technique; absent from the reference).
+    ``return_deep_feature=True`` additionally returns the feature entering
+    the LAST (outermost) up block.  Passing that feature back as
+    ``deep_feature`` on a later call runs ONLY the shallow path —
+    conv_in -> down_blocks[0] (its resnets/attentions; the downsampler
+    feeds deeper blocks and is skipped) -> cached feature -> up_blocks[-1]
+    -> conv_out — reusing the cached deep trunk.  With the SAME inputs the
+    shallow pass reproduces the full pass bit-exactly (pinned by test);
+    across denoise steps it is the DeepCache approximation.  Only the
+    first ``layers_per_block + 1`` ControlNet residuals are consumed on
+    the shallow path (the rest conditioned the cached trunk).
     """
     temb = compute_time_embedding(params, cfg, timesteps, timestep_cond)
     if cfg.addition_embed_type == "text_time":
@@ -688,6 +703,40 @@ def unet_apply(
 
     context = encoder_hidden_states.astype(sample.dtype)
     x = conv2d(params["conv_in"], sample)
+
+    if deep_feature is not None:
+        # shallow-only pass over the cached deep trunk
+        if bank is not None or bank_out is not None or adain is not None:
+            raise ValueError("deep_feature is incompatible with bank/adain modes")
+        if len(params["down_blocks"]) < 2:
+            raise ValueError("deep_feature split needs >= 2 resolution blocks")
+        blk0 = params["down_blocks"][0]
+        down_res = [x]
+        for i, rn in enumerate(blk0["resnets"]):
+            with jax.named_scope(f"down0/res{i}"):
+                x = resnet_apply(rn, cfg, x, temb)
+            if blk0.get("attentions"):
+                with jax.named_scope(f"down0/tf{i}"):
+                    x = transformer2d_apply(blk0["attentions"][i], cfg, x, context)
+            down_res.append(x)
+        if down_block_additional_residuals is not None:
+            down_res = [
+                r + a.astype(r.dtype)
+                for r, a in zip(down_res, down_block_additional_residuals)
+            ]
+        with jax.named_scope(f"up{len(params['up_blocks']) - 1}"):
+            x = up_block_apply(
+                params["up_blocks"][-1],
+                cfg,
+                len(params["up_blocks"]) - 1,
+                deep_feature,
+                down_res,
+                temb,
+                context,
+            )
+        x = silu(group_norm(params["conv_norm_out"], x, groups=cfg.norm_num_groups))
+        x = conv2d(params["conv_out"], x)
+        return x
 
     down_res: list = [x]
     for i, blk in enumerate(params["down_blocks"]):
@@ -710,7 +759,10 @@ def unet_apply(
     if mid_block_additional_residual is not None:
         x = x + mid_block_additional_residual.astype(x.dtype)
 
+    deep = None
     for i, blk in enumerate(params["up_blocks"]):
+        if i == len(params["up_blocks"]) - 1:
+            deep = x
         n = cfg.layers_per_block + 1
         res_samples = down_res[-n:]
         down_res = down_res[:-n]
@@ -721,4 +773,6 @@ def unet_apply(
 
     x = silu(group_norm(params["conv_norm_out"], x, groups=cfg.norm_num_groups))
     x = conv2d(params["conv_out"], x)
+    if return_deep_feature:
+        return x, deep
     return x

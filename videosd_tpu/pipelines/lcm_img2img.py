@@ -108,6 +108,15 @@ class FrameSpec:
     # of flagship device time (PERF.md by-block profile) — measured, not
     # parity: leave at 1 to match the reference bit-for-bit.
     controlnet_interval: int = 1
+    # DeepCache interval (Ma et al., arXiv:2312.00858 — public technique,
+    # absent from the reference): 1 (default) = full UNet every step,
+    # reference parity.  k>1 = recompute the deep UNet trunk (down1..mid
+    # ..up_{n-2}) only on steps s % k == 0 and reuse its cached output
+    # feature in between, re-evaluating just the shallow high-res blocks
+    # (conv_in/down0/up_last — where the long attentions live) every step.
+    # An opt-in throughput lever: the deep trunk is ~50% of flagship UNet
+    # time (PERF.md by-block profile); stacks with controlnet_interval.
+    deepcache_interval: int = 1
 
     def resolved_in_shape(self) -> tuple[int, int]:
         return (self.in_height or self.height, self.in_width or self.width)
@@ -435,6 +444,8 @@ def frame_program(
     # ladders, see schedulers/lcm.py docstring)
     cn_interval = max(1, int(spec.controlnet_interval))
     cn_cache = None  # residuals at base scale, reused between eval steps
+    dc_interval = max(1, int(spec.deepcache_interval))
+    dc_cache = None  # DeepCache: deep-trunk feature reused between evals
     for s in range(S):
         t = ts[:, s]
         t_prev = ts[:, s + 1] if s + 1 < S else t
@@ -489,17 +500,48 @@ def frame_program(
                     mid_res = mid_res * keep
 
         with jax.named_scope("unet"):
-            eps = unet_apply(
-                params["unet"],
-                unet_cfg,
-                latents,
-                t,
-                context,
-                timestep_cond=w_emb,
-                added_cond_kwargs=added_cond,
-                down_block_additional_residuals=down_res,
-                mid_block_additional_residual=mid_res,
-            )
+            if dc_interval == 1:
+                # reference semantics: full UNet every step
+                eps = unet_apply(
+                    params["unet"],
+                    unet_cfg,
+                    latents,
+                    t,
+                    context,
+                    timestep_cond=w_emb,
+                    added_cond_kwargs=added_cond,
+                    down_block_additional_residuals=down_res,
+                    mid_block_additional_residual=mid_res,
+                )
+            elif dc_cache is None or s % dc_interval == 0:
+                # DeepCache eval step: full pass + capture the deep trunk
+                # output (identical math to the plain pass; the capture is
+                # a free tensor alias)
+                eps, dc_cache = unet_apply(
+                    params["unet"],
+                    unet_cfg,
+                    latents,
+                    t,
+                    context,
+                    timestep_cond=w_emb,
+                    added_cond_kwargs=added_cond,
+                    down_block_additional_residuals=down_res,
+                    mid_block_additional_residual=mid_res,
+                    return_deep_feature=True,
+                )
+            else:
+                # cached step: shallow blocks only over the stale trunk
+                eps = unet_apply(
+                    params["unet"],
+                    unet_cfg,
+                    latents,
+                    t,
+                    context,
+                    timestep_cond=w_emb,
+                    added_cond_kwargs=added_cond,
+                    down_block_additional_residuals=down_res,
+                    deep_feature=dc_cache,
+                )
 
         step_noise = jax.vmap(lambda k: elem_noise(k, s + 1))(keys) if S > 1 else None
         new_lat, new_den = step(

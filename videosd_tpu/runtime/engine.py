@@ -900,18 +900,21 @@ class Engine:
 
     def warmup(
         self, batch_sizes=(1,), steps=(4,), height=512, width=512,
-        cn_interval: int | None = None,
+        cn_interval: int | None = None, dc_interval: int | None = None,
     ):
         """Ahead-of-time compile the hot buckets (SURVEY.md §7 "hard parts":
         compile stalls kill p50).  batch_sizes are per-data-shard: the
         compiled batch is b * data_axis so sharded rows stay even.
-        ``cn_interval`` defaults to the config's option_defaults value so
-        the warmed programs match what new streams will actually request."""
+        ``cn_interval``/``dc_interval`` default to the config's
+        option_defaults values so the warmed programs match what new
+        streams will actually request."""
         from videosd_tpu.pipelines.lcm_img2img import FrameSpec
 
+        defaults = getattr(self.config, "option_defaults", None) or {}
         if cn_interval is None:
-            defaults = getattr(self.config, "option_defaults", None) or {}
             cn_interval = int(defaults.get("controlnet_interval", 1) or 1)
+        if dc_interval is None:
+            dc_interval = int(defaults.get("deepcache_interval", 1) or 1)
         ih, iw = self.frame_hw
         for b in batch_sizes:
             for s in steps:
@@ -920,6 +923,7 @@ class Engine:
                     in_height=ih, in_width=iw, steps=s,
                     in_format=self.input_format,
                     controlnet_interval=max(1, cn_interval),
+                    deepcache_interval=max(1, dc_interval),
                 )
                 self._warm_spec(spec, ref_mode=False)
 
@@ -957,20 +961,22 @@ class Engine:
 
     def _nearest_ready_spec(self, spec, ref_mode: bool):
         """A ready program differing from ``spec`` only in steps, output
-        resolution, and/or ControlNet interval, or None if no compiled
-        variant can stand in.
+        resolution, ControlNet interval, and/or DeepCache interval, or
+        None if no compiled variant can stand in.
 
         Ranking: same resolution beats same steps (a transitional ladder
         change is invisible; a transitional size change the client just
         renders at the reply's dimensions), then nearest steps, then
-        nearest area, then nearest ControlNet interval (a transitional
-        interval change only alters residual freshness)."""
+        nearest area, then nearest ControlNet/DeepCache interval (a
+        transitional interval change only alters residual/trunk
+        freshness)."""
         import dataclasses
 
         def normalize(s):
             return dataclasses.replace(
                 s, steps=spec.steps, height=spec.height, width=spec.width,
                 controlnet_interval=spec.controlnet_interval,
+                deepcache_interval=spec.deepcache_interval,
             )
 
         # list() snapshot: executor threads add to _ready_specs concurrently
@@ -988,6 +994,7 @@ class Engine:
                 abs(s.steps - spec.steps),
                 abs(s.height * s.width - spec.height * spec.width),
                 abs(s.controlnet_interval - spec.controlnet_interval),
+                abs(s.deepcache_interval - spec.deepcache_interval),
             ),
         )
 
@@ -1473,6 +1480,7 @@ class Engine:
                     bool(st.options.get("ref")),
                     bool(st.options.get("controlnet", True)),
                     max(1, int(st.options.get("controlnet_interval", 1) or 1)),
+                    max(1, int(st.options.get("deepcache_interval", 1) or 1)),
                     self._stream_model(st),
                 )
                 groups.setdefault(key, []).append((st, buf, ts))
@@ -1499,7 +1507,7 @@ class Engine:
 
         from videosd_tpu.pipelines.lcm_img2img import FrameSpec
 
-        (steps, h, w, ref_mode, use_cn, cn_interval, model) = key
+        (steps, h, w, ref_mode, use_cn, cn_interval, dc_interval, model) = key
         b = self._bucket_batch(len(items))
         spec = FrameSpec(
             batch=b,
@@ -1511,6 +1519,9 @@ class Engine:
             steps=steps,
             use_controlnet=use_cn and not ref_mode,
             controlnet_interval=cn_interval,
+            # the reference-attention program has its own double-pass UNet
+            # path; DeepCache applies to the plain img2img program only
+            deepcache_interval=1 if ref_mode else dc_interval,
         )
         # compile-stall avoidance: a fresh bucket (steps slider moved, a
         # resolution renegotiation, or more concurrent streams than any

@@ -506,6 +506,7 @@ async def _on_startup(app: web.Application):
         # (config option_defaults), like Engine.warmup does
         defaults = app["config"].option_defaults or {}
         cn_interval = max(1, int(defaults.get("controlnet_interval", 1) or 1))
+        dc_interval = max(1, int(defaults.get("deepcache_interval", 1) or 1))
         ih, iw = engine.frame_hw
         for b in batches[1:]:
             spec = FrameSpec(
@@ -513,6 +514,7 @@ async def _on_startup(app: web.Application):
                 in_height=ih, in_width=iw, steps=4,
                 in_format=engine.input_format,
                 controlnet_interval=cn_interval,
+                deepcache_interval=dc_interval,
             )
             engine._compile_spec_background(loop, spec, ref_mode=False)
     app["watchdog_task"] = asyncio.get_running_loop().create_task(watchdog(app))

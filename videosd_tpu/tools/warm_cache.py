@@ -42,6 +42,13 @@ def main(argv=None) -> None:
         help="warm the controlnet_interval=k turbo variant of every"
         " bucket (1 = reference-parity programs)",
     )
+    p.add_argument(
+        "--dc-interval",
+        type=int,
+        default=1,
+        help="warm the deepcache_interval=k turbo variant of every"
+        " bucket (1 = reference-parity programs)",
+    )
     args = p.parse_args(argv)
 
     from videosd_tpu.config import load_config
@@ -55,7 +62,10 @@ def main(argv=None) -> None:
     for b in buckets:
         for s in args.steps:
             t0 = time.perf_counter()
-            engine.warmup(batch_sizes=(b,), steps=(s,), cn_interval=args.cn_interval)
+            engine.warmup(
+                batch_sizes=(b,), steps=(s,), cn_interval=args.cn_interval,
+                dc_interval=args.dc_interval,
+            )
             timings[f"b{b}_s{s}"] = round(time.perf_counter() - t0, 2)
     print(
         json.dumps(
