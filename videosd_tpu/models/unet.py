@@ -708,6 +708,17 @@ def unet_apply(
         # shallow-only pass over the cached deep trunk
         if bank is not None or bank_out is not None or adain is not None:
             raise ValueError("deep_feature is incompatible with bank/adain modes")
+        if mid_block_additional_residual is not None:
+            # the mid block is part of the cached trunk — a fresh mid
+            # residual has nowhere to apply; silently dropping it would be
+            # wrong conditioning, so refuse (mirrors the bank/adain guard)
+            raise ValueError(
+                "deep_feature is incompatible with mid_block_additional_residual"
+            )
+        if return_deep_feature:
+            raise ValueError(
+                "return_deep_feature requires a full pass (deep_feature=None)"
+            )
         if len(params["down_blocks"]) < 2:
             raise ValueError("deep_feature split needs >= 2 resolution blocks")
         blk0 = params["down_blocks"][0]

@@ -116,6 +116,12 @@ class FrameSpec:
     # (conv_in/down0/up_last — where the long attentions live) every step.
     # An opt-in throughput lever: the deep trunk is ~50% of flagship UNet
     # time (PERF.md by-block profile); stacks with controlnet_interval.
+    # Stacking tradeoff: on cached (shallow) steps only the first
+    # layers_per_block+1 ControlNet down residuals condition the pass —
+    # freshly computed MID and deep-down residuals are DISCARDED there
+    # (the trunk they would condition is the cached one), so with
+    # controlnet_interval=1 the ControlNet's per-step mid conditioning
+    # only lands on DeepCache eval steps.
     deepcache_interval: int = 1
 
     def resolved_in_shape(self) -> tuple[int, int]:

@@ -1473,14 +1473,21 @@ class Engine:
                 h, w = self._snap_resolution(
                     int(st.options["height"]), int(st.options["width"])
                 )
+                ref_mode = bool(st.options.get("ref"))
                 key = (
                     int(st.options["steps"]),
                     h,
                     w,
-                    bool(st.options.get("ref")),
+                    ref_mode,
                     bool(st.options.get("controlnet", True)),
                     max(1, int(st.options.get("controlnet_interval", 1) or 1)),
-                    max(1, int(st.options.get("deepcache_interval", 1) or 1)),
+                    # ref-mode FrameSpecs force deepcache_interval=1, so key
+                    # on the EFFECTIVE value: ref streams differing only in
+                    # this option compile to the identical program and must
+                    # share one batch
+                    1
+                    if ref_mode
+                    else max(1, int(st.options.get("deepcache_interval", 1) or 1)),
                     self._stream_model(st),
                 )
                 groups.setdefault(key, []).append((st, buf, ts))
