@@ -200,6 +200,62 @@ def test_safety_hook_seam(bundle, embeds, rng):
     assert int(np.asarray(out_p[1]).sum()) > 0
 
 
+def test_warm_alpha_zero_bit_identical(bundle, program, embeds, rng):
+    """warm_alpha=0 must be bit-identical to the no-warm path: the blend
+    (1-a)*latents + a*warm in fp32 is exact at a=0 regardless of the warm
+    buffer's contents (the serving engine always passes warm arrays, so a
+    stream that never enables warm-start must not pay ANY numeric drift)."""
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    opts = _opts(b=1)
+    out_plain, lat_plain = program(bundle.params, frame, embeds, *opts)
+    warm = jnp.asarray(
+        rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    )  # arbitrary non-zero history
+    out_warm, lat_warm = program(
+        bundle.params, frame, embeds, *opts,
+        warm_latents=warm, warm_alpha=jnp.array([0.0], jnp.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_warm))
+    np.testing.assert_array_equal(np.asarray(lat_plain), np.asarray(lat_warm))
+
+
+def test_skin_stats_classifier_flags_skin_chroma():
+    """The built-in safety classifier (YCbCr skin-chroma box) flags a
+    skin-toned image and passes a blue one."""
+    from videosd_tpu.pipelines.safety import skin_stats_classifier
+
+    classify = skin_stats_classifier(threshold=0.5)
+    skin = jnp.broadcast_to(
+        jnp.asarray([224 / 255.0, 172 / 255.0, 140 / 255.0]), (1, 32, 32, 3)
+    )
+    blue = jnp.broadcast_to(jnp.asarray([0.1, 0.2, 0.9]), (1, 32, 32, 3))
+    both = jnp.concatenate([skin, blue], axis=0)
+    flagged = np.asarray(classify(both))
+    assert flagged.tolist() == [True, False]
+
+
+def test_builtin_safety_blackout_end_to_end(bundle, embeds, rng):
+    """Config-style built-in safety: a flagged frame comes back BLACK
+    through the full frame program (VERDICT round-2 item 8); the
+    never-flag threshold reproduces the unguarded output bit-exactly."""
+    import dataclasses
+
+    from videosd_tpu.pipelines.safety import default_safety_hook
+
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    always = dataclasses.replace(bundle, safety_hook=default_safety_hook(-1.0))
+    never = dataclasses.replace(bundle, safety_hook=default_safety_hook(2.0))
+    prog_a = build_frame_program(always, SPEC)
+    prog_n = build_frame_program(never, SPEC)
+    prog_p = build_frame_program(bundle, SPEC)
+    opts = _opts(b=1)
+    out_a, _ = prog_a(bundle.params, frame, embeds, *opts)
+    out_n, _ = prog_n(bundle.params, frame, embeds, *opts)
+    out_p, _ = prog_p(bundle.params, frame, embeds, *opts)
+    assert int(np.asarray(out_a).sum()) == 0  # flagged -> black
+    np.testing.assert_array_equal(np.asarray(out_n), np.asarray(out_p))
+
+
 def test_i420_input_program_parity(bundle, program, embeds, rng):
     """in_format=i420: the packed-input program on a packed smooth frame
     stays close to the RGB program on the source frame — the only

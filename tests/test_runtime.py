@@ -120,6 +120,37 @@ def test_engine_single_stream_end_to_end(rng):
     asyncio.run(run())
 
 
+def test_engine_config_safety_blackout(rng):
+    """config safety: true wires the built-in classifier through the
+    engine's serving programs — a flagged frame comes back black through
+    the FULL stack (mailbox -> program -> reply).  threshold=-1 flags
+    every output (random-init outputs have no controllable skin tone)."""
+    from videosd_tpu.config import ServerConfig
+    from videosd_tpu.runtime.engine import Engine
+
+    async def run():
+        cfg = ServerConfig(
+            family="tiny",
+            dtype="float32",
+            weights="random",
+            safety=True,
+            safety_threshold=-1.0,
+            frame_hw=(32, 32),
+        )
+        eng = Engine(cfg, max_streams=2, max_batch=2, deadline_ms=5)
+        assert eng.bundle.safety_hook is not None
+        eng.start()
+        try:
+            st = eng.open_stream({"height": 32, "width": 32, "steps": 1})
+            frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            out = await _first_real(eng, st, frame)
+            assert int(np.asarray(out).sum()) == 0  # blacked out
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
+
+
 def test_engine_live_weight_swap(rng):
     """swap_params under live serving: same-shape params swap atomically
     with zero recompiles and change the output; mismatched trees are

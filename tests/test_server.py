@@ -464,6 +464,61 @@ def test_promptgen_template_backend_styles():
     assert out2 != out3  # seeds vary the style
 
 
+def test_promptgen_llama2_chain_matches_reference_template():
+    """The chat chain renders exactly the reference's template_messages
+    (diffusert/promptgen.py:49-56) in Llama-2 chat format: system prompt
+    folded into the FIRST [INST] block, the 1-shot example as a completed
+    turn, then the user's subject as the open turn."""
+    from videosd_tpu.promptgen.app import (
+        ONE_SHOT,
+        SAMPLING,
+        SYSTEM_PROMPT,
+        build_llama2_chat_prompt,
+    )
+
+    p = build_llama2_chat_prompt("A red fox")
+    expect = (
+        f"<s>[INST] <<SYS>>\n{SYSTEM_PROMPT}\n<</SYS>>\n\n"
+        f"{ONE_SHOT[0][0]} [/INST] {ONE_SHOT[0][1]} </s>"
+        "<s>[INST] A red fox [/INST]"
+    )
+    assert p == expect
+    # reference chain content (promptgen.py:38-56)
+    assert "image prompt generator" in SYSTEM_PROMPT
+    assert "Keep your response within 20 words" in SYSTEM_PROMPT
+    assert ONE_SHOT[0][0] == "A landscape"
+    assert ONE_SHOT[0][1].startswith("A painting of a landscape")
+    # reference sampling (promptgen.py:30-35)
+    assert SAMPLING == {
+        "max_new_tokens": 30,
+        "temperature": 5.0,
+        "top_k": 60,
+        "top_p": 1.0,
+    }
+
+
+def test_promptgen_discover_causal_lm(tmp_path):
+    from videosd_tpu.promptgen.app import discover_causal_lm
+
+    # empty cache -> None
+    assert discover_causal_lm(cache=str(tmp_path)) is None
+    # a causal-LM snapshot is found; a non-causal one is ignored
+    import json as _json
+    import os
+
+    snap = tmp_path / "models--org--lm" / "snapshots" / "abc"
+    snap.mkdir(parents=True)
+    (snap / "config.json").write_text(
+        _json.dumps({"architectures": ["LlamaForCausalLM"]})
+    )
+    other = tmp_path / "models--org--vae" / "snapshots" / "def"
+    other.mkdir(parents=True)
+    (other / "config.json").write_text(
+        _json.dumps({"architectures": ["AutoencoderKL"]})
+    )
+    assert discover_causal_lm(cache=str(tmp_path)) == str(snap)
+
+
 def test_stt_session_wav_rendering():
     from videosd_tpu.server.stt import STTSession
 

@@ -244,6 +244,15 @@ class ServerConfig:
     # cost, and hot-swapped checkpoints re-fuse the same adapters.
     lora: Any = None
     lora_scale: float = 1.0
+    # safety checker seam (the reference's optional
+    # StableDiffusionSafetyChecker, lcm_controlnet.py:593-608 — disabled
+    # in its shipped deployment, so off by default here too).  true wires
+    # the built-in skin-chroma-statistics classifier
+    # (pipelines/safety.skin_stats_classifier) through the blackout hook
+    # INSIDE every compiled frame program: flagged outputs return black.
+    safety: bool = False
+    # skin-pixel fraction above which a frame is flagged
+    safety_threshold: float = 0.5
     # named EXTRA checkpoints served alongside the default model: a
     # mapping of name -> HF repo/path (or {model, controlnet, lora,
     # lora_scale} for per-entry overrides).  All entries must be the same

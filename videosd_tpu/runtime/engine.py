@@ -259,12 +259,23 @@ class Engine:
                 self.weights_source = None
             loras = getattr(self.config, "lora", None) or []
             quant = str(getattr(self.config, "quant", "none")).lower() == "int8"
-            if loras or quant:
+            safety = bool(getattr(self.config, "safety", False))
+            if loras or quant or safety:
                 # ModelBundle.random is cached/shared across callers —
                 # copy before rebinding params so the cache stays pristine
                 import dataclasses as _dc
 
                 self._bundle = _dc.replace(self._bundle)
+            if safety:
+                # baked into every compiled frame program; registry models
+                # run as params through the same programs, so the hook
+                # covers them too
+                from videosd_tpu.pipelines.safety import default_safety_hook
+
+                self._bundle.safety_hook = default_safety_hook(
+                    float(getattr(self.config, "safety_threshold", 0.5))
+                )
+                log.info("safety: skin-stats blackout hook enabled")
             if loras:
                 # LoRA fuses BEFORE quant: deltas add to bf16 kernels,
                 # then the fused result quantizes (io/lora.py module doc)

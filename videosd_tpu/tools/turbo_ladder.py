@@ -114,17 +114,27 @@ def main() -> None:
         )
         t0 = time.perf_counter()
         prog = build_frame_program(bundle, spec)
-        # warm (compile)
-        out, _ = prog(
-            bundle.params,
-            jnp.asarray(frames[0][None]),
-            embeds,
-            strength,
-            guidance,
-            cn_scale,
-            jnp.array([23], jnp.int32),
-        )
-        jax.block_until_ready(out)
+        # warm (compile) — retry the known tunnel flake ("response body
+        # closed before all bytes were read" mid-remote-compile, BACKLOG);
+        # finished compiles persist in the cache so retries are cheap
+        for attempt in range(3):
+            try:
+                out, _ = prog(
+                    bundle.params,
+                    jnp.asarray(frames[0][None]),
+                    embeds,
+                    strength,
+                    guidance,
+                    cn_scale,
+                    jnp.array([23], jnp.int32),
+                )
+                jax.block_until_ready(out)
+                break
+            except Exception as e:  # jax.errors.JaxRuntimeError
+                if attempt == 2:
+                    raise
+                print(f"# compile retry cn={cn_i} dc={dc_i}: {e}", flush=True)
+                time.sleep(5)
         programs[(cn_i, dc_i)] = prog
         print(
             f"# compiled cn={cn_i} dc={dc_i} in {time.perf_counter() - t0:.1f}s",
