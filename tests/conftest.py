@@ -47,6 +47,7 @@ SLOW_MODULES = {
     "test_server",
     "test_from_pretrained",
     "test_multimodel",
+    "test_torch_parity_fullgeom",
 }
 
 
