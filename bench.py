@@ -111,31 +111,39 @@ def main() -> None:
 
     fps4 = max(fps4_window() for _ in range(3))
 
-    # informational extra: the opt-in ControlNet-interval turbo mode
-    # (controlnet_interval=4 — evaluate the ControlNet once, reuse
-    # residuals; NOT reference semantics, so it never feeds the headline
-    # value/vs_baseline, which stay the parity program's numbers)
-    spec_t = FrameSpec(
-        batch=1, height=512, width=512, steps=4, controlnet_interval=4
-    )
-    program_t = build_frame_program(bundle, spec_t)
-    out, _ = program_t(bundle.params, frame, embeds, strength, guidance, cn, seed)
-    jax.block_until_ready(out)
+    # informational extras: the opt-in approximation turbo modes
+    # (controlnet_interval / deepcache_interval — NOT reference semantics,
+    # so they never feed the headline value/vs_baseline, which stay the
+    # parity program's numbers).  Quality deltas vs the parity program are
+    # measured in tools/turbo_ladder.py and tabled in PERF.md.
+    def turbo_fps(cn_i: int, dc_i: int) -> float:
+        spec_t = FrameSpec(
+            batch=1, height=512, width=512, steps=4,
+            controlnet_interval=cn_i, deepcache_interval=dc_i,
+        )
+        program_t = build_frame_program(bundle, spec_t)
+        out, _ = program_t(bundle.params, frame, embeds, strength, guidance, cn, seed)
+        jax.block_until_ready(out)
 
-    def fps_turbo_window(n: int = 30) -> float:
-        t_start = time.perf_counter()
-        outs = []
-        for i in range(n):
-            out, _ = program_t(
-                bundle.params, frame, embeds, strength, guidance, cn, seed + i
-            )
-            outs.append(out)
-            if len(outs) > 2:
-                jax.block_until_ready(outs.pop(0))
-        jax.block_until_ready(outs)
-        return n / (time.perf_counter() - t_start)
+        def win(n: int = 30) -> float:
+            t_start = time.perf_counter()
+            outs = []
+            for i in range(n):
+                out, _ = program_t(
+                    bundle.params, frame, embeds, strength, guidance, cn, seed + i
+                )
+                outs.append(out)
+                if len(outs) > 2:
+                    jax.block_until_ready(outs.pop(0))
+            jax.block_until_ready(outs)
+            return n / (time.perf_counter() - t_start)
 
-    fps_turbo = max(fps_turbo_window() for _ in range(3))
+        return max(win() for _ in range(3))
+
+    fps_turbo = turbo_fps(4, 1)
+    fps_dc = turbo_fps(1, 2)
+    # recommended production turbo (PERF.md turbo ladder): cn=4 x dc=2
+    fps_prod = turbo_fps(4, 2)
 
     print(
         json.dumps(
@@ -147,6 +155,8 @@ def main() -> None:
                 "p50_latency_ms": round(p50, 2),
                 "batch4_aggregate_fps": round(fps4, 3),
                 "cn_interval4_turbo_fps": round(fps_turbo, 3),
+                "dc_interval2_turbo_fps": round(fps_dc, 3),
+                "production_turbo_cn4_dc2_fps": round(fps_prod, 3),
             }
         )
     )
