@@ -411,3 +411,11 @@ $("recordBtn").addEventListener("click", async () => {
     state.dc.send(recording ? "start" : "stop");
   }
 });
+
+// PWA: register the app-shell service worker (parity with the reference's
+// next-pwa packaging; no-op on http origins other than localhost)
+if ("serviceWorker" in navigator) {
+  window.addEventListener("load", () => {
+    navigator.serviceWorker.register("/sw.js").catch(() => {});
+  });
+}

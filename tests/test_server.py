@@ -942,3 +942,34 @@ def test_ws_model_option_full_stack(rng):
             await client.close()
 
     asyncio.run(run())
+
+
+def test_pwa_shell_routes():
+    """The PWA app shell serves: / (index with manifest link), /app.js
+    (registers the service worker), /sw.js at ROOT scope, and the
+    manifest + icon under /client/ (reference packaging analog:
+    client/public/manifest.json + the next-pwa build chain)."""
+
+    async def run():
+        client = await _make_client()
+        try:
+            r = await client.get("/")
+            html = await r.text()
+            assert r.status == 200
+            assert 'rel="manifest"' in html and "manifest.webmanifest" in html
+            r = await client.get("/app.js")
+            js = await r.text()
+            assert r.status == 200 and "serviceWorker" in js
+            r = await client.get("/sw.js")
+            swjs = await r.text()
+            assert r.status == 200 and "addEventListener" in swjs
+            r = await client.get("/client/manifest.webmanifest")
+            assert r.status == 200
+            man = json.loads(await r.text())
+            assert man["display"] == "standalone" and man["icons"]
+            r = await client.get("/client/icon.svg")
+            assert r.status == 200 and "<svg" in (await r.text())
+        finally:
+            await client.close()
+
+    asyncio.run(run())

@@ -562,6 +562,13 @@ def create_app(config: ServerConfig | None = None, *, engine: Engine | None = No
             return web.FileResponse(os.path.join(client_dir, "app.js"))
 
         app.router.add_get("/app.js", appjs)
+
+        # service worker must be served from the root path so its scope
+        # covers "/" (PWA app shell; client/sw.js)
+        async def sw(_req):
+            return web.FileResponse(os.path.join(client_dir, "sw.js"))
+
+        app.router.add_get("/sw.js", sw)
     app.on_startup.append(_on_startup)
     app.on_shutdown.append(_on_shutdown)
     return app
