@@ -58,6 +58,12 @@ def main(argv=None):
         help="recompute the deep UNet trunk every k-th step (DeepCache), "
         "re-evaluating only the shallow blocks between (1 = parity)",
     )
+    p.add_argument(
+        "--taesd-packed",
+        action="store_true",
+        help="pixel-pair-packed TAESD conv layout (full-lane MXU convs; "
+        "fp32-reduction-order parity with the default layout)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -95,6 +101,14 @@ def main(argv=None):
             bundle, [(path, args.lora_scale) for path in args.lora]
         )
         print(f"lora: fused {stats}", file=sys.stderr)
+
+    if args.taesd_packed:
+        import dataclasses
+
+        bundle = dataclasses.replace(
+            bundle,
+            taesd_cfg=dataclasses.replace(bundle.taesd_cfg, packed_convs=True),
+        )
 
     spec = FrameSpec(
         batch=1,

@@ -173,6 +173,33 @@ def test_taesd_roundtrip_shapes():
     assert back.shape == (1, 32, 32, 3)
 
 
+def test_taesd_packed_convs_match_unpacked():
+    """packed_convs evaluates the residual blocks in pixel-pair-packed
+    layout (free NHWC reshape + block-packed 3x3 kernels with exact zero
+    blocks) — results must match the unpacked path to fp32
+    reduction-order.  Covers both the sd15 geometry (hidden=64, the 128-
+    lane-exact case the option exists for) and the tiny preset."""
+    import dataclasses
+
+    for base in (TAESDConfig(), TAESDConfig(hidden=16, blocks_per_stage=1)):
+        packed = dataclasses.replace(base, packed_convs=True)
+        p = taesd_init(jax.random.PRNGKey(0), base, dtype=jnp.float32)
+        img = jax.random.uniform(
+            jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32, -1, 1
+        )
+        z = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(taesd_encode(p, img, packed)),
+            np.asarray(taesd_encode(p, img, base)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(taesd_decode(p, z, packed)),
+            np.asarray(taesd_decode(p, z, base)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
 def test_vae_roundtrip_shapes():
     cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4)
     p = vae_init(jax.random.PRNGKey(3), cfg)

@@ -185,6 +185,12 @@ class ServerConfig:
     # subsampling costs nothing extra: WebRTC video and camera JPEGs are
     # already 4:2:0 at the source.
     input_format: str = "rgb"
+    # evaluate TAESD residual blocks in pixel-pair-packed layout (full
+    # 128-lane convs instead of half-padded 64-channel ones; see
+    # models/taesd.py TAESDConfig.packed_convs).  Output parity with the
+    # unpacked program is fp32-reduction-order level, not bit-exact, so
+    # this is opt-in; golden tests pin the unpacked path.
+    taesd_packed: bool = False
     # camera-frame mailbox (h, w): fixed-size per-stream frame buffers.
     # Camera frames up to this size keep their FULL field of view — the
     # on-device crop sees the true extent via a traced source box, so the

@@ -41,6 +41,17 @@ class TAESDConfig:
     num_stages: int = 3  # number of 2x down/up stages
     blocks_per_stage: int = 3
     scaling_factor: float = 1.0
+    # Evaluate the residual blocks in pixel-PAIR-packed layout: [H, W, C]
+    # viewed as [H, W/2, 2C] (a free contiguous reshape in NHWC), with the
+    # 3x3 kernels block-packed to [3, 3, 2C, 2C].  At hidden=64 this fills
+    # the MXU's 128 lanes exactly instead of half-padding them, and it IS
+    # the space-to-depth transform XLA otherwise inserts for these convs —
+    # minus XLA's materialized layout copies (the profiled "TAESD layout
+    # shuffle" cost, PERF.md by-block profile).  The packed kernels carry
+    # exact zero blocks (50% density), so results match the unpacked path
+    # up to fp32 reduction-order; opt-in (config `taesd_packed`) because
+    # golden tests pin the unpacked program bit-for-bit.
+    packed_convs: bool = False
 
 
 def _block_init(key, n_in: int, n_out: int) -> Params:
@@ -63,6 +74,70 @@ def _block_apply(p: Params, x):
     h = conv2d(p["conv"][2], h)
     skip = conv2d(p["skip"], x, padding=0) if "skip" in p else x
     return jax.nn.relu(h + skip)
+
+
+# ---- pixel-pair-packed block path (TAESDConfig.packed_convs) -------------
+#
+# [B, H, W, C] -> [B, H, W/2, 2C] is a free reshape in NHWC (adjacent
+# pixels' channels are already contiguous).  A 3x3 SAME stride-1 conv
+# becomes a 3x3 conv over packed columns whose [2C, 2C] taps hold the
+# original [C, C] taps block-wise: output sub-pixel i_out at packed column
+# j reads input sub-pixel i_in at packed column j+dj iff the absolute
+# column offset dx = 2*dj + i_in - i_out lands in {-1, 0, 1}.  6 of the 12
+# (dj, i_in, i_out) slots are live -> 2x the FLOPs of the unpacked conv,
+# but the MXU was only 64/128-lane utilized before, so the array work is
+# identical — and the free reshape replaces XLA's space-to-depth copies.
+
+
+def _pack2(x):
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def _unpack2(x):
+    b, h, w2, c2 = x.shape
+    return x.reshape(b, h, w2 * 2, c2 // 2)
+
+
+def _pack2_kernel(k):
+    """[3, 3, Cin, Cout] SAME-conv kernel -> [3, 3, 2Cin, 2Cout] packed."""
+    kh, kw, ci, co = k.shape
+    assert kh == 3 and kw == 3, "pair packing is derived for 3x3 kernels"
+    wp = jnp.zeros((kh, 3, 2 * ci, 2 * co), k.dtype)
+    for dj in (-1, 0, 1):
+        for i_in in (0, 1):
+            for i_out in (0, 1):
+                dx = 2 * dj + i_in - i_out
+                if -1 <= dx <= 1:
+                    wp = wp.at[
+                        :,
+                        dj + 1,
+                        i_in * ci : (i_in + 1) * ci,
+                        i_out * co : (i_out + 1) * co,
+                    ].set(k[:, dx + 1])
+    return wp
+
+
+def _conv2d_packed(params: Params, xp):
+    kp = _pack2_kernel(params["kernel"].astype(xp.dtype))
+    y = jax.lax.conv_general_dilated(
+        xp,
+        kp,
+        window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in params:
+        y = y + jnp.tile(params["bias"].astype(y.dtype), 2)
+    return y.astype(xp.dtype)
+
+
+def _block_apply_packed(p: Params, xp):
+    assert "skip" not in p, "TAESD blocks are C->C; packed path has no skip"
+    h = jax.nn.relu(_conv2d_packed(p["conv"][0], xp))
+    h = jax.nn.relu(_conv2d_packed(p["conv"][1], h))
+    h = _conv2d_packed(p["conv"][2], h)
+    return jax.nn.relu(h + xp)
 
 
 def taesd_init(key, cfg: TAESDConfig = TAESDConfig(), dtype=jnp.float32) -> Params:
@@ -114,6 +189,19 @@ def taesd_encode(params: Params, x, cfg: TAESDConfig = TAESDConfig()):
     enc = params["encoder"]
     h = (x + 1.0) * 0.5  # [-1,1] -> [0,1]
     h = conv2d(enc["conv_in"], h.astype(x.dtype))
+    packed = cfg.packed_convs and h.shape[2] % (2 ** (cfg.num_stages + 1)) == 0
+    if packed:
+        hp = _block_apply_packed(enc["block_in"], _pack2(h))
+        for stage in enc["stages"]:
+            # down convs (stride 2) stay unpacked — cheap, and the
+            # pack/unpack boundaries are free reshapes
+            h = conv2d(
+                stage["down"], _unpack2(hp), stride=2, padding=[(1, 1), (1, 1)]
+            )
+            hp = _pack2(h)
+            for blk in stage["blocks"]:
+                hp = _block_apply_packed(blk, hp)
+        return conv2d(enc["conv_out"], _unpack2(hp))
     h = _block_apply(enc["block_in"], h)
     for stage in enc["stages"]:
         h = conv2d(stage["down"], h, stride=2, padding=[(1, 1), (1, 1)])
@@ -127,6 +215,17 @@ def taesd_decode(params: Params, z, cfg: TAESDConfig = TAESDConfig()):
     dec = params["decoder"]
     zf = jnp.tanh(z.astype(jnp.float32) / 3.0) * 3.0  # soft latent clamp
     h = jax.nn.relu(conv2d(dec["conv_in"], zf.astype(z.dtype)))
+    packed = cfg.packed_convs and h.shape[2] % 2 == 0
+    if packed:
+        for stage in dec["stages"]:
+            hp = _pack2(h)
+            for blk in stage["blocks"]:
+                hp = _block_apply_packed(blk, hp)
+            h = upsample_nearest2d(_unpack2(hp))
+            h = conv2d(stage["up"], h)
+        h = _unpack2(_block_apply_packed(dec["block_out"], _pack2(h)))
+        h = conv2d(dec["conv_out"], h)
+        return h * 2.0 - 1.0
     for stage in dec["stages"]:
         for blk in stage["blocks"]:
             h = _block_apply(blk, h)

@@ -260,6 +260,16 @@ class Engine:
             loras = getattr(self.config, "lora", None) or []
             quant = str(getattr(self.config, "quant", "none")).lower() == "int8"
             safety = bool(getattr(self.config, "safety", False))
+            if bool(getattr(self.config, "taesd_packed", False)):
+                import dataclasses as _dc
+
+                self._bundle = _dc.replace(
+                    self._bundle,
+                    taesd_cfg=_dc.replace(
+                        self._bundle.taesd_cfg, packed_convs=True
+                    ),
+                )
+                log.info("taesd: pixel-pair-packed conv layout enabled")
             if loras or quant or safety:
                 # ModelBundle.random is cached/shared across callers —
                 # copy before rebinding params so the cache stays pristine

@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--alphas", default="0,0.3,0.5")
+    # lower strength couples the output more tightly to the input camera
+    # motion (fewer denoise steps of drift toward the prompt/noise
+    # direction), giving the flicker metric dynamic range — with
+    # random-init weights at high strength the output is nearly static
+    # and the metric floors out
+    ap.add_argument("--strength", type=float, default=0.6)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -71,7 +77,7 @@ def main() -> None:
     ids = jnp.asarray(bundle.tokenizer(["portrait, pixar, cg"]), jnp.int32)
     embeds, _ = encoder(bundle.params, ids)
 
-    strength = jnp.array([0.6], jnp.float32)
+    strength = jnp.array([args.strength], jnp.float32)
     guidance = jnp.array([5.0], jnp.float32)
     cn_scale = jnp.array([2.0], jnp.float32)
     seed = jnp.array([23], jnp.int32)
@@ -107,6 +113,7 @@ def main() -> None:
         )
         row = {
             "warm_alpha": alpha,
+            "strength": args.strength,
             "flicker_mean_abs_delta": round(flick, 3),
             "fps": round(len(frames) / dt, 2),
         }
