@@ -265,3 +265,18 @@ def test_checkpoint_roundtrip(tmp_path):
         assert len(a) == len(b)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_flagship_sharded_matches_single_device():
+    """The FLAGSHIP program (sd15 family, 512x512, steps=4 — the shape
+    customers actually serve) sharded dp x tp over the 8-device mesh must
+    match the single-device program on the same inputs (VERDICT round-2
+    item 4).  ~15 min of real fp32 compute on a 1-core rig — the heaviest
+    test in the suite, and the only machine check of flagship-geometry TP
+    numerics possible without multi-chip hardware."""
+    from videosd_tpu.parallel.verify import verify_flagship_dp_tp
+
+    result = verify_flagship_dp_tp(8)
+    assert result["mesh"] == (2, 4)
+    assert result["max_diff"] <= 2
+    assert result["latents_allclose"]
