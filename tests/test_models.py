@@ -200,6 +200,34 @@ def test_taesd_packed_convs_match_unpacked():
         )
 
 
+def test_taesd_pallas_convs_match_unpacked():
+    """pallas_convs evaluates the residual blocks with the Pallas
+    packed-conv kernel (ops/pallas/taesd_conv.py: halo-DMA'd strips,
+    lane-full accumulating matmuls, fused bias/ReLU/skip epilogue) —
+    results must match the plain path to fp32 reduction-order.
+    Interpreter mode on CPU; batch=2 exercises the batch grid dim."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    base = TAESDConfig()
+    pallas = dataclasses.replace(base, pallas_convs=True)
+    p = taesd_init(jax.random.PRNGKey(0), base, dtype=jnp.float32)
+    img = jax.random.uniform(
+        jax.random.PRNGKey(1), (2, 64, 96, 3), jnp.float32, -1, 1
+    )
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 12, 4), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        enc_pallas = np.asarray(taesd_encode(p, img, pallas))
+        dec_pallas = np.asarray(taesd_decode(p, z, pallas))
+    np.testing.assert_allclose(
+        enc_pallas, np.asarray(taesd_encode(p, img, base)), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        dec_pallas, np.asarray(taesd_decode(p, z, base)), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_vae_roundtrip_shapes():
     cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4)
     p = vae_init(jax.random.PRNGKey(3), cfg)

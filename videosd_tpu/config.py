@@ -191,6 +191,12 @@ class ServerConfig:
     # unpacked program is fp32-reduction-order level, not bit-exact, so
     # this is opt-in; golden tests pin the unpacked path.
     taesd_packed: bool = False
+    # evaluate TAESD residual blocks with the Pallas packed-conv kernel
+    # (ops/pallas/taesd_conv.py): owns the packed layout end to end —
+    # halo-DMA'd strips, lane-full matmuls, fused bias/ReLU/skip.  Same
+    # fp32-reduction-order parity caveat as taesd_packed; TPU-only (the
+    # engine ignores it on other platforms).
+    taesd_pallas: bool = False
     # camera-frame mailbox (h, w): fixed-size per-stream frame buffers.
     # Camera frames up to this size keep their FULL field of view — the
     # on-device crop sees the true extent via a traced source box, so the

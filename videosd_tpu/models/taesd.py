@@ -51,7 +51,14 @@ class TAESDConfig:
     # exact zero blocks (50% density), so results match the unpacked path
     # up to fp32 reduction-order; opt-in (config `taesd_packed`) because
     # golden tests pin the unpacked program bit-for-bit.
+    # MEASURED LOSER at the XLA level (PERF.md): kept for A/B tooling.
     packed_convs: bool = False
+    # Evaluate the residual blocks with the Pallas packed-conv kernel
+    # (ops/pallas/taesd_conv.py): same pixel-pair-packed math, but the
+    # kernel owns the layout end to end — halo-DMA'd row strips, 9
+    # lane-full accumulating matmuls, fused bias/ReLU/skip epilogue.
+    # Opt-in (config `taesd_pallas`); TPU-only (interpret mode in tests).
+    pallas_convs: bool = False
 
 
 def _block_init(key, n_in: int, n_out: int) -> Params:
@@ -140,6 +147,22 @@ def _block_apply_packed(p: Params, xp):
     return jax.nn.relu(h + xp)
 
 
+def _block_apply_pallas(p: Params, xp):
+    """Residual block on packed activations via the Pallas conv kernel.
+
+    Falls back to the XLA packed path per-resolution when the shape is
+    outside the kernel's strip/lane support (e.g. H not a multiple of 16).
+    """
+    from videosd_tpu.ops.pallas import taesd_conv
+
+    assert "skip" not in p, "TAESD blocks are C->C; packed path has no skip"
+    if not taesd_conv.supports(xp.shape):
+        return _block_apply_packed(p, xp)
+    h = taesd_conv.packed_conv3x3(p["conv"][0], xp, relu=True)
+    h = taesd_conv.packed_conv3x3(p["conv"][1], h, relu=True)
+    return taesd_conv.packed_conv3x3(p["conv"][2], h, relu=True, skip=xp)
+
+
 def taesd_init(key, cfg: TAESDConfig = TAESDConfig(), dtype=jnp.float32) -> Params:
     h = cfg.hidden
     n_enc = 2 + cfg.num_stages * (1 + cfg.blocks_per_stage) + 1
@@ -189,9 +212,11 @@ def taesd_encode(params: Params, x, cfg: TAESDConfig = TAESDConfig()):
     enc = params["encoder"]
     h = (x + 1.0) * 0.5  # [-1,1] -> [0,1]
     h = conv2d(enc["conv_in"], h.astype(x.dtype))
-    packed = cfg.packed_convs and h.shape[2] % (2 ** (cfg.num_stages + 1)) == 0
+    use_packed = cfg.packed_convs or cfg.pallas_convs
+    block_fn = _block_apply_pallas if cfg.pallas_convs else _block_apply_packed
+    packed = use_packed and h.shape[2] % (2 ** (cfg.num_stages + 1)) == 0
     if packed:
-        hp = _block_apply_packed(enc["block_in"], _pack2(h))
+        hp = block_fn(enc["block_in"], _pack2(h))
         for stage in enc["stages"]:
             # down convs (stride 2) stay unpacked — cheap, and the
             # pack/unpack boundaries are free reshapes
@@ -200,7 +225,7 @@ def taesd_encode(params: Params, x, cfg: TAESDConfig = TAESDConfig()):
             )
             hp = _pack2(h)
             for blk in stage["blocks"]:
-                hp = _block_apply_packed(blk, hp)
+                hp = block_fn(blk, hp)
         return conv2d(enc["conv_out"], _unpack2(hp))
     h = _block_apply(enc["block_in"], h)
     for stage in enc["stages"]:
@@ -215,15 +240,17 @@ def taesd_decode(params: Params, z, cfg: TAESDConfig = TAESDConfig()):
     dec = params["decoder"]
     zf = jnp.tanh(z.astype(jnp.float32) / 3.0) * 3.0  # soft latent clamp
     h = jax.nn.relu(conv2d(dec["conv_in"], zf.astype(z.dtype)))
-    packed = cfg.packed_convs and h.shape[2] % 2 == 0
+    use_packed = cfg.packed_convs or cfg.pallas_convs
+    block_fn = _block_apply_pallas if cfg.pallas_convs else _block_apply_packed
+    packed = use_packed and h.shape[2] % 2 == 0
     if packed:
         for stage in dec["stages"]:
             hp = _pack2(h)
             for blk in stage["blocks"]:
-                hp = _block_apply_packed(blk, hp)
+                hp = block_fn(blk, hp)
             h = upsample_nearest2d(_unpack2(hp))
             h = conv2d(stage["up"], h)
-        h = _unpack2(_block_apply_packed(dec["block_out"], _pack2(h)))
+        h = _unpack2(block_fn(dec["block_out"], _pack2(h)))
         h = conv2d(dec["conv_out"], h)
         return h * 2.0 - 1.0
     for stage in dec["stages"]:

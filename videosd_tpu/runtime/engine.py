@@ -270,6 +270,24 @@ class Engine:
                     ),
                 )
                 log.info("taesd: pixel-pair-packed conv layout enabled")
+            if bool(getattr(self.config, "taesd_pallas", False)):
+                import dataclasses as _dc
+
+                import jax
+
+                if jax.default_backend() == "cpu":
+                    log.warning(
+                        "taesd_pallas requested on the CPU backend — "
+                        "ignored (Mosaic kernels are TPU-only)"
+                    )
+                else:
+                    self._bundle = _dc.replace(
+                        self._bundle,
+                        taesd_cfg=_dc.replace(
+                            self._bundle.taesd_cfg, pallas_convs=True
+                        ),
+                    )
+                    log.info("taesd: Pallas packed-conv kernel enabled")
             if loras or quant or safety:
                 # ModelBundle.random is cached/shared across callers —
                 # copy before rebinding params so the cache stays pristine

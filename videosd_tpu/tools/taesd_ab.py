@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--json", default=None)
     ap.add_argument("--skip-probe", action="store_true")
+    ap.add_argument(
+        "--variants",
+        default="unpacked,pallas",
+        help="comma list from {unpacked, packed, pallas}; first entry is "
+        "the baseline for PSNR and win counting",
+    )
     args = ap.parse_args()
 
     from videosd_tpu.compile_cache import setup as setup_cache
@@ -59,9 +65,22 @@ def main() -> None:
     from videosd_tpu.tools.turbo_ladder import structured_frame
 
     bundle = ModelBundle.random("sd15", dtype=jnp.bfloat16)
-    packed_bundle = dataclasses.replace(
-        bundle, taesd_cfg=dataclasses.replace(bundle.taesd_cfg, packed_convs=True)
-    )
+    variants = [v.strip() for v in args.variants.split(",") if v.strip()]
+    cfg_overrides = {
+        "unpacked": {},
+        "packed": {"packed_convs": True},
+        "pallas": {"pallas_convs": True},
+    }
+    bundles = {
+        name: dataclasses.replace(
+            bundle,
+            taesd_cfg=dataclasses.replace(
+                bundle.taesd_cfg, **cfg_overrides[name]
+            ),
+        )
+        for name in variants
+    }
+    base = variants[0]
     hw = args.size
 
     # ---- isolated encode+decode slope probe -----------------------------
@@ -69,8 +88,8 @@ def main() -> None:
         z0 = jax.random.normal(
             jax.random.PRNGKey(0), (1, hw // 8, hw // 8, 4), jnp.bfloat16
         )
-        for name, cfg in (("unpacked", bundle.taesd_cfg),
-                          ("packed", packed_bundle.taesd_cfg)):
+        for name in variants:
+            cfg = bundles[name].taesd_cfg
 
             def chain(params, z, k, cfg=cfg):
                 def body(c, _):
@@ -101,10 +120,7 @@ def main() -> None:
 
     # ---- frame-level same-window A/B pairs -------------------------------
     specs = FrameSpec(batch=1, height=hw, width=hw, steps=args.steps)
-    progs = {
-        "unpacked": build_frame_program(bundle, specs),
-        "packed": build_frame_program(packed_bundle, specs),
-    }
+    progs = {name: build_frame_program(bundles[name], specs) for name in variants}
     enc = build_prompt_encoder(bundle)
     ids = jnp.asarray(bundle.tokenizer(["portrait, pixar, cg"]), jnp.int32)
     embeds, _ = enc(bundle.params, ids)
@@ -123,8 +139,10 @@ def main() -> None:
         jax.block_until_ready(out)
         outs[name] = np.asarray(out[0])
         print(f"# compiled {name} in {time.perf_counter() - t0:.1f}s", flush=True)
-    q = psnr(outs["unpacked"], outs["packed"])
-    print(f"# packed-vs-unpacked output PSNR: {q:.2f} dB", flush=True)
+    psnrs = {}
+    for name in variants[1:]:
+        psnrs[name] = float(psnr(outs[base], outs[name]))
+        print(f"# {name}-vs-{base} output PSNR: {psnrs[name]:.2f} dB", flush=True)
 
     def window(prog) -> float:
         t0 = time.perf_counter()
@@ -136,7 +154,7 @@ def main() -> None:
 
     pairs = []
     for i in range(args.pairs):
-        order = ("unpacked", "packed") if i % 2 == 0 else ("packed", "unpacked")
+        order = list(variants) if i % 2 == 0 else list(reversed(variants))
         row = {}
         for name in order:
             row[name] = round(window(progs[name]), 2)
@@ -144,11 +162,13 @@ def main() -> None:
         print(f"# pair {i}: {row}", flush=True)
 
     result = {
-        "psnr_db": round(float(q), 2),
+        "psnr_db": {k: round(v, 2) for k, v in psnrs.items()},
         "pairs": pairs,
-        "unpacked_best": max(p["unpacked"] for p in pairs),
-        "packed_best": max(p["packed"] for p in pairs),
-        "packed_wins": sum(1 for p in pairs if p["packed"] > p["unpacked"]),
+        "best": {name: max(p[name] for p in pairs) for name in variants},
+        "wins_vs_base": {
+            name: sum(1 for p in pairs if p[name] > p[base])
+            for name in variants[1:]
+        },
     }
     print(json.dumps(result))
     if args.json:
