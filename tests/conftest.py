@@ -48,6 +48,7 @@ SLOW_MODULES = {
     "test_from_pretrained",
     "test_multimodel",
     "test_torch_parity_fullgeom",
+    "test_train_toy",
 }
 
 

@@ -239,6 +239,46 @@ class ModelBundle:
         return bundle
 
     @classmethod
+    def from_dir(
+        cls,
+        path: str,
+        *,
+        family: str = "sd15",
+        dtype=None,
+        **kw,
+    ) -> "ModelBundle":
+        """Load a checkpoint dir of EITHER layout, auto-detected:
+
+        * an io/checkpoint.save_bundle dir (``bundle.json`` manifest —
+          e.g. a tools/train_toy.py artifact or a fine-tune snapshot)
+          loads via load_bundle_params onto a random-init bundle of the
+          recorded family;
+        * anything else goes through :meth:`from_pretrained` (a local
+          diffusers HF snapshot, the reference's checkpoint layout).
+
+        ``dtype=None`` picks fp32 for tiny families (the test/CPU
+        convention) and bf16 otherwise.
+        """
+        import os
+
+        manifest = os.path.join(path, "bundle.json")
+        if os.path.isfile(manifest):
+            import json
+
+            with open(manifest) as f:
+                fam = json.load(f).get("family", family)
+            if dtype is None:
+                dtype = jnp.float32 if fam.startswith("tiny") else jnp.bfloat16
+            bundle = dataclasses.replace(cls.random(fam, dtype=dtype))
+            from videosd_tpu.io.checkpoint import load_bundle_params
+
+            bundle.params = load_bundle_params(bundle, path, dtype=dtype)
+            return bundle
+        if dtype is None:
+            dtype = jnp.bfloat16
+        return cls.from_pretrained(path, family=family, dtype=dtype, **kw)
+
+    @classmethod
     def from_pretrained(
         cls,
         model_dir: str,

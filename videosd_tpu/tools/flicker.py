@@ -53,6 +53,12 @@ def main() -> None:
     # and the metric floors out
     ap.add_argument("--strength", type=float, default=0.6)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--weights",
+        default=None,
+        help="checkpoint dir (diffusers snapshot or io/checkpoint bundle, "
+        "e.g. tools/train_toy.py output; overrides --family)",
+    )
     args = ap.parse_args()
 
     from videosd_tpu.compile_cache import setup as setup_cache
@@ -69,8 +75,12 @@ def main() -> None:
         build_prompt_encoder,
     )
 
-    dtype = jnp.float32 if args.family.startswith("tiny") else jnp.bfloat16
-    bundle = ModelBundle.random(args.family, dtype=dtype)
+    if args.weights:
+        bundle = ModelBundle.from_dir(args.weights, family=args.family)
+        dtype = bundle.dtype
+    else:
+        dtype = jnp.float32 if args.family.startswith("tiny") else jnp.bfloat16
+        bundle = ModelBundle.random(args.family, dtype=dtype)
     spec = FrameSpec(batch=1, height=args.size, width=args.size, steps=args.steps)
     program = build_frame_program(bundle, spec)
     encoder = build_prompt_encoder(bundle)

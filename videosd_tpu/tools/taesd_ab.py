@@ -108,8 +108,12 @@ def main() -> None:
             for k in (2, 6):
                 f = jax.jit(lambda p, z, k=k: chain(p, z, k))
                 jax.block_until_ready(f(bundle.params["taesd"], z0))
+                # DISTINCT input per timed call: repeated identical args
+                # hit a remote-backend memoization and time as ~0.1 ms
+                # (PERF.md "Pixel-pair-packed TAESD convs" pitfall)
                 times[k] = min(
-                    timed(f, bundle.params["taesd"], z0) for _ in range(5)
+                    timed(f, bundle.params["taesd"], z0 + 0.01 * (i + 1))
+                    for i in range(5)
                 )
             slope_ms = (times[6] - times[2]) / 4 * 1e3
             print(

@@ -89,7 +89,9 @@ def main() -> None:
     )
 
     if args.weights:
-        bundle = ModelBundle.from_pretrained(args.weights, dtype=jnp.bfloat16)
+        # auto-detects layout: diffusers snapshot OR an io/checkpoint
+        # bundle dir (e.g. tools/train_toy.py toy weights)
+        bundle = ModelBundle.from_dir(args.weights)
     else:
         bundle = ModelBundle.random("sd15", dtype=jnp.bfloat16)
     encoder = build_prompt_encoder(bundle)
