@@ -65,78 +65,117 @@ def _conv_kernel(
     has_skip: bool,
 ):
     if has_skip:
-        skip_ref, out_ref, xs, sem = args
+        skip_ref, out_ref, xs0, xs1, sem0, sem1 = args
     else:
-        out_ref, xs, sem = args
+        out_ref, xs0, xs1, sem0, sem1 = args
         skip_ref = None
     b = pl.program_id(0)
     i = pl.program_id(1)
     n = pl.num_programs(1)
     h = x_hbm.shape[1]
     r = rows
-    wp_cols = xs.shape[1]
+    wp_cols = xs0.shape[1]
+    zero_row = jnp.zeros((1, wp_cols, _LANES), xs0.dtype)
 
-    def dma(src_rows, dst_lo, length):
+    def dma(src_rows, dst_lo, length, buf, sem):
         return pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(src_rows, length)],
-            xs.at[pl.ds(dst_lo, length)],
+            buf.at[pl.ds(dst_lo, length)],
             sem,
         )
 
-    zero_row = jnp.zeros((1, wp_cols, _LANES), xs.dtype)
+    # strip s geometry (1-row halo, zero-padded at the image edges):
+    #   s == 0     -> src rows [0, r+1)      into buf rows [1, r+2); row 0 = 0
+    #   s == n-1   -> src rows [h-r-1, h)    into buf rows [0, r+1); row r+1 = 0
+    #   middle     -> src rows [s*r-1, +r+2) into buf rows [0, r+2)
+    def start_strip(s, buf, sem):
+        @pl.when(s == 0)
+        def _():
+            dma(0, 1, r + 1, buf, sem).start()
+
+        @pl.when(s == n - 1)
+        def _():
+            dma(h - (r + 1), 0, r + 1, buf, sem).start()
+
+        @pl.when(jnp.logical_and(s != 0, s != n - 1))
+        def _():
+            dma(s * r - 1, 0, r + 2, buf, sem).start()
+
+    def wait_strip(s, buf, sem):
+        @pl.when(s == 0)
+        def _():
+            buf[0:1] = zero_row
+            dma(0, 1, r + 1, buf, sem).wait()
+
+        @pl.when(s == n - 1)
+        def _():
+            buf[r + 1 : r + 2] = zero_row
+            dma(h - (r + 1), 0, r + 1, buf, sem).wait()
+
+        @pl.when(jnp.logical_and(s != 0, s != n - 1))
+        def _():
+            dma(s * r - 1, 0, r + 2, buf, sem).wait()
+
+    def compute(buf):
+        g = buf[...]
+        zcol = jnp.zeros((r + 2, 1, _LANES), g.dtype)
+        # kernel column c reads input column j + c - 1 (SAME, pad 1)
+        variants = (
+            jnp.concatenate([zcol, g[:, : wp_cols - 1]], axis=1),  # c=0: x[j-1]
+            g,  # c=1
+            jnp.concatenate([g[:, 1:], zcol], axis=1),  # c=2: x[j+1]
+        )
+
+        acc = None
+        for dr in range(3):  # kernel row dr reads input row r + dr - 1
+            for c in range(3):
+                m = variants[c][dr : dr + r].reshape(r * wp_cols, _LANES)
+                part = jnp.dot(m, wp_ref[dr, c], preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+
+        y = acc + bias_ref[...]
+        if relu and skip_ref is None:
+            y = jnp.maximum(y, 0.0)
+        if skip_ref is not None:
+            y = y + skip_ref[...].reshape(r * wp_cols, _LANES).astype(jnp.float32)
+            if relu:
+                y = jnp.maximum(y, 0.0)
+        out_ref[...] = y.astype(out_ref.dtype).reshape(1, r, wp_cols, _LANES)
+
     if n == 1:
         # whole image in one strip: both halo rows are the zero padding
-        cp = dma(0, 1, r)
+        cp = dma(0, 1, r, xs0, sem0)
         cp.start()
-        xs[0:1] = zero_row
-        xs[r + 1 : r + 2] = zero_row
+        xs0[0:1] = zero_row
+        xs0[r + 1 : r + 2] = zero_row
         cp.wait()
-    else:
+        compute(xs0)
+        return
 
+    # double-buffered pipeline: start strip i+1's DMA into the other
+    # buffer, then wait for strip i (started during invocation i-1) and
+    # compute — the halo copy rides under the 9 matmuls instead of
+    # serializing before them.  Buffer parity is i % 2; branching on the
+    # parity keeps every buffer reference static.
+    def body(cur, nxt, cur_sem, nxt_sem):
         @pl.when(i == 0)
         def _():
-            cp = dma(0, 1, r + 1)
-            cp.start()
-            xs[0:1] = zero_row
-            cp.wait()
+            start_strip(i, cur, cur_sem)
 
-        @pl.when(i == n - 1)
+        @pl.when(i + 1 < n)
         def _():
-            cp = dma(h - (r + 1), 0, r + 1)
-            cp.start()
-            xs[r + 1 : r + 2] = zero_row
-            cp.wait()
+            start_strip(i + 1, nxt, nxt_sem)
 
-        @pl.when(jnp.logical_and(i != 0, i != n - 1))
-        def _():
-            cp = dma(i * r - 1, 0, r + 2)
-            cp.start()
-            cp.wait()
+        wait_strip(i, cur, cur_sem)
+        compute(cur)
 
-    g = xs[...]
-    zcol = jnp.zeros((r + 2, 1, _LANES), g.dtype)
-    # kernel column c reads input column j + c - 1 (SAME, pad 1)
-    variants = (
-        jnp.concatenate([zcol, g[:, : wp_cols - 1]], axis=1),  # c=0: x[j-1]
-        g,  # c=1
-        jnp.concatenate([g[:, 1:], zcol], axis=1),  # c=2: x[j+1]
-    )
+    @pl.when(i % 2 == 0)
+    def _():
+        body(xs0, xs1, sem0, sem1)
 
-    acc = None
-    for dr in range(3):  # kernel row dr reads input row r + dr - 1
-        for c in range(3):
-            m = variants[c][dr : dr + r].reshape(r * wp_cols, _LANES)
-            part = jnp.dot(m, wp_ref[dr, c], preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
-
-    y = acc + bias_ref[...]
-    if relu and skip_ref is None:
-        y = jnp.maximum(y, 0.0)
-    if skip_ref is not None:
-        y = y + skip_ref[...].reshape(r * wp_cols, _LANES).astype(jnp.float32)
-        if relu:
-            y = jnp.maximum(y, 0.0)
-    out_ref[...] = y.astype(out_ref.dtype).reshape(1, r, wp_cols, _LANES)
+    @pl.when(i % 2 == 1)
+    def _():
+        body(xs1, xs0, sem1, sem0)
 
 
 @functools.partial(
@@ -181,6 +220,8 @@ def _packed_conv3x3(
             ),
             scratch_shapes=[
                 pltpu.VMEM((r + 2, wp_cols, _LANES), xp.dtype),
+                pltpu.VMEM((r + 2, wp_cols, _LANES), xp.dtype),
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
         ),

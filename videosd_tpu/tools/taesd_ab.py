@@ -100,8 +100,13 @@ def main() -> None:
                 return out
 
             def timed(f, *a):
+                # force a VALUE fetch: on the remote-TPU (axon) backend,
+                # block_until_ready alone can resolve on a lazy future
+                # without waiting for device compute — chains then time as
+                # ~0.1 ms regardless of work (PERF.md measurement
+                # pitfalls).  A scalar pulled to host cannot be faked.
                 t0 = time.perf_counter()
-                jax.block_until_ready(f(*a))
+                float(jnp.sum(f(*a).astype(jnp.float32)))
                 return time.perf_counter() - t0
 
             times = {}
@@ -109,12 +114,20 @@ def main() -> None:
                 f = jax.jit(lambda p, z, k=k: chain(p, z, k))
                 jax.block_until_ready(f(bundle.params["taesd"], z0))
                 # DISTINCT input per timed call: repeated identical args
-                # hit a remote-backend memoization and time as ~0.1 ms
-                # (PERF.md "Pixel-pair-packed TAESD convs" pitfall)
-                times[k] = min(
-                    timed(f, bundle.params["taesd"], z0 + 0.01 * (i + 1))
+                # hit a remote-backend memoization (PERF.md pitfall)
+                import numpy as _np
+
+                zs = [
+                    jnp.asarray(
+                        _np.random.default_rng(i).standard_normal(z0.shape),
+                        z0.dtype,
+                    )
                     for i in range(5)
+                ]
+                samples = sorted(
+                    timed(f, bundle.params["taesd"], zs[i]) for i in range(5)
                 )
+                times[k] = samples[len(samples) // 2]  # median: tunnel jitter
             slope_ms = (times[6] - times[2]) / 4 * 1e3
             print(
                 f"# probe {name}: decode+encode round trip "
