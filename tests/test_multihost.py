@@ -14,8 +14,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 _WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -62,7 +60,6 @@ print("MULTIHOST_OK", pid)
 """
 
 
-@pytest.mark.timeout(300)
 def test_two_process_cpu_cluster(tmp_path):
     port = socket.socket()
     port.bind(("localhost", 0))
