@@ -27,6 +27,7 @@ def verify_flagship_dp_tp(
     n_devices: int,
     *,
     model_parallel: int | None = None,
+    family: str = "sd15",
     size: int = 512,
     steps: int = 4,
     max_u8_diff: int = 2,
@@ -36,6 +37,15 @@ def verify_flagship_dp_tp(
     fp32 (CPU-native and parity-grade): the sharded and single-device
     executions differ only by collective reduction order, so uint8
     outputs must agree within ``max_u8_diff`` counts.
+
+    ``family``/``size``/``steps`` scale the check's cost: the default is
+    the true flagship (sd15, 512x512, 4 steps; ~40 min cold on a 1-core
+    CPU rig — the slow-test tier).  ``family="tiny"`` runs the SAME
+    sharding rules, collectives, and head-sharded attention on the small
+    topology (compile dominates the cost on CPU, and even sd15 at
+    128x128/2 steps exceeded 580 s cold in round-4 measurement — the
+    UNet graph's op count, not its shapes, drives compile time), sized
+    for the driver's minutes-scale dryrun budget.
     """
     from videosd_tpu.compile_cache import setup as setup_cache
 
@@ -59,7 +69,7 @@ def verify_flagship_dp_tp(
         model_parallel = max(
             (m for m in (4, 2, 1) if n_devices % m == 0 and m <= n_devices),
         )
-    bundle = ModelBundle.random("sd15", dtype=jnp.float32)
+    bundle = ModelBundle.random(family, dtype=jnp.float32)
     eng = ShardedFrameEngine(
         bundle, n_devices=n_devices, model_parallel=model_parallel
     )

@@ -1828,6 +1828,25 @@ class Engine:
         # ops should gate load admission on this one (see BACKLOG: on
         # remote-dispatch rigs, in-flight warmups time-share the chip)
         s["programs_ready"] = len(self._ready_specs)
+        # public view of the servable buckets (batch is the COMPILED batch,
+        # i.e. a data-axis multiple when mesh-sharded) — lets external
+        # health checks (and the driver dryrun) assert sharding-consistent
+        # bucket geometry without reaching into private state
+        s["ready_buckets"] = sorted(
+            (
+                {
+                    "batch": sp.batch,
+                    "height": sp.height,
+                    "width": sp.width,
+                    "steps": sp.steps,
+                    "ref_mode": rm,
+                }
+                for sp, rm in list(self._ready_specs)
+            ),
+            key=lambda d: (
+                d["batch"], d["height"], d["width"], d["steps"], str(d["ref_mode"]),
+            ),
+        )
         s["dispatch_threads"] = dict(self._dispatch_threads)
         s["devices"] = (
             {"data": self.mesh.shape["data"], "model": self.mesh.shape["model"]}
