@@ -80,9 +80,17 @@ def test_two_process_cpu_cluster(tmp_path):
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=280)
-        outs.append(out.decode())
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=280)
+            outs.append(out.decode())
+    finally:
+        # a TimeoutExpired above must not leak worker processes (a hung
+        # jax.distributed pair would otherwise outlive the test run)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"MULTIHOST_OK {i}" in out, out

@@ -38,6 +38,8 @@ def test_train_toy_end_to_end(tmp_path, monkeypatch, capsys):
             "30",
             "--unet-steps",
             "8",
+            "--cn-steps",
+            "6",
             "--batch",
             "4",
             "--json",
@@ -46,8 +48,8 @@ def test_train_toy_end_to_end(tmp_path, monkeypatch, capsys):
     )
     train_toy.main()
     report = json.loads((tmp_path / "report.json").read_text())
-    # 30 adam steps on the tiny TAESD must show learning (full convergence
-    # takes ~1500 steps, the tool's default — the real runs in PERF.md)
+    # 30 adam steps on the tiny TAESD must show learning; full convergence
+    # takes ~1500 steps (the tool's default, used for any recorded runs)
     assert report["ae_final_mse"] < 0.8 * report["ae_first_mse"]
     assert (out / "bundle.json").is_file()
     meta = json.loads((out / "bundle.json").read_text())
@@ -64,6 +66,11 @@ def test_train_toy_end_to_end(tmp_path, monkeypatch, capsys):
     conv_in_fresh = np.asarray(fresh.params["taesd"]["encoder"]["conv_in"]["kernel"])
     conv_in_loaded = np.asarray(loaded.params["taesd"]["encoder"]["conv_in"]["kernel"])
     assert not np.allclose(conv_in_fresh, conv_in_loaded)
+    # Stage C moved the ControlNet's zero-init output convs off zero — the
+    # trained ControlNet is no longer a no-op (cn-interval gating is real)
+    assert "cn_final_loss" in report
+    mid = np.asarray(loaded.params["controlnet"]["controlnet_mid_block"]["kernel"])
+    assert np.abs(mid).max() > 0.0
 
     # the trained bundle drives the real frame program (the flicker /
     # turbo tools' eval path) without shape or dtype complaints
@@ -91,8 +98,24 @@ def test_train_toy_end_to_end(tmp_path, monkeypatch, capsys):
 
 
 def test_from_dir_falls_back_to_pretrained_layout(tmp_path):
-    """No bundle.json -> the diffusers-snapshot loader path is taken."""
+    """No bundle.json -> the diffusers-snapshot loader path is taken.
+
+    Pin the SPECIFIC failure of that path (io.weights.load_model_dir
+    listing <dir>/unet) so an unrelated bug upstream of the fallback
+    cannot masquerade as a pass (ADVICE r3)."""
     from videosd_tpu.pipelines.lcm_img2img import ModelBundle
 
-    with pytest.raises(Exception):  # empty dir: neither layout present
+    with pytest.raises(FileNotFoundError, match="unet"):
         ModelBundle.from_dir(str(tmp_path))
+
+
+def test_from_dir_bundle_branch_rejects_unknown_kwargs(tmp_path):
+    """bundle.json layout: unsupported kwargs raise instead of being
+    silently dropped (ADVICE r3 — e.g. a typo'd loader option)."""
+    (tmp_path / "bundle.json").write_text(
+        json.dumps({"family": "tiny", "models": []})
+    )
+    from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+
+    with pytest.raises(TypeError, match="unsupported kwargs"):
+        ModelBundle.from_dir(str(tmp_path), taesd_dir="/nonexistent")

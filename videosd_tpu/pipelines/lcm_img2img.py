@@ -269,7 +269,18 @@ class ModelBundle:
                 fam = json.load(f).get("family", family)
             if dtype is None:
                 dtype = jnp.float32 if fam.startswith("tiny") else jnp.bfloat16
-            bundle = dataclasses.replace(cls.random(fam, dtype=dtype))
+            # forward the kwargs cls.random understands; reject the rest
+            # loudly rather than silently ignoring them (ADVICE r3)
+            rand_kw = {
+                k: kw.pop(k)
+                for k in ("seed", "with_controlnet", "with_kl_vae")
+                if k in kw
+            }
+            if kw:
+                raise TypeError(
+                    f"from_dir(bundle.json layout) got unsupported kwargs {sorted(kw)}"
+                )
+            bundle = dataclasses.replace(cls.random(fam, dtype=dtype, **rand_kw))
             from videosd_tpu.io.checkpoint import load_bundle_params
 
             bundle.params = load_bundle_params(bundle, path, dtype=dtype)

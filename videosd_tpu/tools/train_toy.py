@@ -17,6 +17,13 @@ own training stack:
   (train/step.make_train_step), conditioned on the bundle CLIP tower's
   embeds of the tools' fixed prompt and, when the config has LCM guidance
   conditioning, the w-embedding at the tools' guidance 5.0.
+* **Stage C — ControlNet** against the frozen Stage-B UNet
+  (train/step.make_controlnet_train_step), conditioned on the SAME canny
+  maps the serving pipeline computes (ops.sobel_control_image).  Without
+  this the random-init ControlNet is a literal no-op (zero-init output
+  convs), which makes ``controlnet_interval`` quality-gating vacuous —
+  round-4 measurement: every cn interval scored IDENTICALLY on
+  Stage-A/B-only weights.
 
 The result saves in io/checkpoint.save_bundle layout; flicker.py
 --weights and turbo_ladder.py --weights auto-detect it (bundle.json) vs
@@ -71,11 +78,16 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--ae-steps", type=int, default=1500)
     ap.add_argument("--unet-steps", type=int, default=3000)
+    ap.add_argument("--cn-steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
+    if args.ae_steps < 1 or args.unet_steps < 1 or args.cn_steps < 0:
+        ap.error("--ae-steps and --unet-steps must be >= 1 and --cn-steps "
+                 ">= 0 (the report's final-loss fields come from the last "
+                 "executed step; --cn-steps 0 skips Stage C)")
 
     from videosd_tpu.compile_cache import setup as setup_cache
 
@@ -179,6 +191,44 @@ def main() -> None:
     params = dict(bundle.params)
     params["unet"] = state["params"]
     bundle.params = params
+
+    # ---- Stage C: ControlNet against the frozen UNet ------------------
+    if args.cn_steps > 0:
+        from videosd_tpu.ops import sobel_control_image
+        from videosd_tpu.train.step import make_controlnet_train_step
+
+        canny_j = jax.jit(lambda x: sobel_control_image(x, 0.11, 0.8))
+        cn_opt = optax.adamw(args.lr)
+        cn_state = init_train_state(bundle.params["controlnet"], cn_opt)
+        cn_step = make_controlnet_train_step(
+            bundle.unet_cfg, bundle.sched_cfg, cn_opt
+        )
+        unet_frozen = bundle.params["unet"]
+        t0 = time.perf_counter()
+        for step in range(args.cn_steps):
+            imgs = jnp.asarray(make_batch(rng, args.batch, h, w))
+            latents = encode_j(tp, imgs)
+            # serving feeds canny of the [0,1] camera frame (lcm_img2img
+            # FrameSpec.canny_low/high defaults)
+            control = canny_j((imgs + 1.0) * 0.5)
+            batch = {"latents": latents, "context": context, "control": control}
+            if w_cond is not None:
+                batch["w_cond"] = w_cond
+            key, sub = jax.random.split(key)
+            cn_state, metrics = cn_step(cn_state, unet_frozen, batch, sub)
+            if step == 0:
+                report["cn_first_loss"] = float(metrics["loss"])
+            if step % 200 == 0 or step == args.cn_steps - 1:
+                print(
+                    f"# controlnet step {step}: loss {float(metrics['loss']):.5f}",
+                    flush=True,
+                )
+        report["cn_final_loss"] = float(metrics["loss"])
+        report["cn_seconds"] = round(time.perf_counter() - t0, 1)
+
+        params = dict(bundle.params)
+        params["controlnet"] = cn_state["params"]
+        bundle.params = params
 
     save_bundle(bundle, args.out)
     report["out"] = args.out
