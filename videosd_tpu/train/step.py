@@ -14,11 +14,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from videosd_tpu.models.controlnet import controlnet_apply
 from videosd_tpu.models.unet import UNetConfig, unet_apply
 from videosd_tpu.parallel.mesh import data_sharding, replicated, shard_params
 from videosd_tpu.schedulers import LCMSchedulerConfig, add_noise, make_alphas_cumprod
 
-__all__ = ["make_train_step", "init_train_state"]
+__all__ = ["make_train_step", "make_controlnet_train_step", "init_train_state"]
 
 
 def init_train_state(params, optimizer):
@@ -86,3 +87,66 @@ def make_train_step(
         return jitted(state, shard_batch(batch), jax.device_put(key, replicated(mesh)))
 
     return sharded_step
+
+
+def make_controlnet_train_step(
+    unet_cfg: UNetConfig,
+    sched_cfg: LCMSchedulerConfig,
+    optimizer,
+):
+    """Train the ControlNet against a FROZEN UNet (the ControlNet paper's
+    recipe, arXiv:2302.05543 §4 — base weights locked, only the trainable
+    copy + zero convs get gradients; the reference never trains, it loads
+    a hub checkpoint, videopipeline.py:56-60).
+
+    step(state, unet_params, batch, key) -> (state, metrics).  batch adds
+    ``control`` [B,H,W,3] (the canny map in [0,1], pixel resolution —
+    exactly what the serving pipeline feeds, lcm_img2img.py
+    sobel_control_image) to the make_train_step batch contract.  The loss
+    is the same eps-prediction MSE, with the ControlNet residuals wired
+    into the UNet skip stack exactly as the frame program wires them.
+    """
+    alphas = jnp.asarray(make_alphas_cumprod(sched_cfg))
+
+    def loss_fn(cn_params, unet_params, batch, key):
+        latents = batch["latents"]
+        b = latents.shape[0]
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (b,), 0, sched_cfg.num_train_timesteps)
+        noise = jax.random.normal(kn, latents.shape, jnp.float32)
+        noisy = add_noise(alphas, latents, noise, t)
+        down, mid = controlnet_apply(
+            cn_params,
+            unet_cfg,
+            noisy,
+            t,
+            batch["context"],
+            batch["control"],
+            conditioning_scale=1.0,
+            timestep_cond=batch.get("w_cond"),
+        )
+        pred = unet_apply(
+            unet_params,
+            unet_cfg,
+            noisy,
+            t,
+            batch["context"],
+            timestep_cond=batch.get("w_cond"),
+            down_block_additional_residuals=down,
+            mid_block_additional_residual=mid,
+        )
+        err = pred.astype(jnp.float32) - noise
+        return jnp.mean(err * err)
+
+    @jax.jit
+    def train_step(state, unet_params, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state["params"], unet_params, batch, key
+        )
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state}, {"loss": loss}
+
+    return train_step
