@@ -5,6 +5,8 @@ Covers the minimum end-to-end slice of SURVEY.md §7 step 3: uint8 frame in
 recompile), per-element strength masking, and warm latent reuse.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -401,3 +403,56 @@ def test_controlnet_interval_keep_window(bundle, embeds, rng):
     np.testing.assert_allclose(
         np.asarray(oa, np.int32), np.asarray(ob, np.int32), atol=1
     )
+
+
+def test_refresh_last_parity_noop(bundle, embeds, rng):
+    """interval_refresh_last with both intervals at 1 is the parity
+    program bit-for-bit (the flag only gates cache-refresh branches that
+    do not exist at interval 1)."""
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    spec = FrameSpec(batch=1, height=32, width=32, steps=2)
+    spec_rl = dataclasses.replace(spec, interval_refresh_last=True)
+    o_rl, _ = build_frame_program(bundle, spec_rl)(
+        bundle.params, frame, embeds, *_opts()
+    )
+    o, _ = build_frame_program(bundle, spec)(bundle.params, frame, embeds, *_opts())
+    np.testing.assert_array_equal(np.asarray(o_rl), np.asarray(o))
+
+
+def test_refresh_last_deepcache_final_step_fresh(bundle, embeds, rng):
+    """steps=4 @ dc=2: plain interval refreshes s=0,2 (final step stale);
+    +last refreshes s=0,2,3.  The extra full pass must change the output
+    (the trained-weight gate showed final-step freshness dominates
+    quality — PERF.md round 4), and the +last program must trace one
+    more FULL UNet pass than the plain one."""
+    from videosd_tpu.pipelines import lcm_img2img as m
+
+    full_calls = []
+    orig = m.unet_apply
+
+    def counting(*a, **kw):
+        if kw.get("return_deep_feature"):
+            full_calls.append(1)
+        return orig(*a, **kw)
+
+    frame = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+    spec_p = FrameSpec(batch=1, height=32, width=32, steps=4, deepcache_interval=2)
+    spec_rl = FrameSpec(
+        batch=1, height=32, width=32, steps=4, deepcache_interval=2,
+        interval_refresh_last=True,
+    )
+    m.unet_apply = counting
+    try:
+        out_p, _ = build_frame_program(bundle, spec_p)(
+            bundle.params, frame, embeds, *_opts()
+        )
+        n_plain = len(full_calls)
+        full_calls.clear()
+        out_rl, _ = build_frame_program(bundle, spec_rl)(
+            bundle.params, frame, embeds, *_opts()
+        )
+        n_rl = len(full_calls)
+    finally:
+        m.unet_apply = orig
+    assert (n_plain, n_rl) == (2, 3), (n_plain, n_rl)
+    assert np.abs(np.asarray(out_rl, int) - np.asarray(out_p, int)).max() > 0

@@ -66,6 +66,11 @@ _OPTION_COERCIONS = {
     # Bucket-keyed like controlnet_interval: changing it compiles a new
     # program variant, served via nearest-ready fallback meanwhile.
     "deepcache_interval": int,
+    # refresh interval caches on the FINAL denoise step too (quality
+    # recovery for interval>1 configs — the last step's freshness
+    # dominates output quality, PERF.md round-4 trained-weight gates).
+    # No effect when both intervals are 1.
+    "interval_refresh_last": bool,
     # named checkpoint from the server's `models:` registry ("" = the
     # config default).  Same-family checkpoints share every compiled
     # program (params are a program ARGUMENT), so switching models live

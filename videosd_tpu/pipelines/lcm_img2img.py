@@ -123,6 +123,17 @@ class FrameSpec:
     # controlnet_interval=1 the ControlNet's per-step mid conditioning
     # only lands on DeepCache eval steps.
     deepcache_interval: int = 1
+    # Refresh both caches on the FINAL denoise step regardless of the
+    # interval phase.  Round-4 trained-weight gating found the last
+    # step's freshness dominates output quality: at steps=4, dc=3
+    # (refreshes s=0,3) scored ~9 dB higher PSNR than dc=2 (refreshes
+    # s=0,2 — final step stale) at the SAME eval count, and a trained
+    # ControlNet's stale residuals on the final step were the main
+    # interval quality cost (PERF.md "Round 4: trained-weight quality
+    # gates").  Off by default: parity configs (intervals 1) are
+    # unaffected either way, and recorded interval measurements keyed
+    # s % k == 0 stay reproducible.
+    interval_refresh_last: bool = False
 
     def resolved_in_shape(self) -> tuple[int, int]:
         return (self.in_height or self.height, self.in_width or self.width)
@@ -503,6 +514,11 @@ def frame_program(
     cn_cache = None  # residuals at base scale, reused between eval steps
     dc_interval = max(1, int(spec.deepcache_interval))
     dc_cache = None  # DeepCache: deep-trunk feature reused between evals
+
+    def _refresh(s: int, k: int) -> bool:
+        # static per step: the branch is resolved at trace time
+        return s % k == 0 or (spec.interval_refresh_last and s == S - 1)
+
     for s in range(S):
         t = ts[:, s]
         t_prev = ts[:, s + 1] if s + 1 < S else t
@@ -538,7 +554,7 @@ def frame_program(
                 # holds base-scale residuals and `keep` applies at use-site
                 # — identical math at eval steps, stale-latent approximation
                 # in between.
-                if cn_cache is None or s % cn_interval == 0:
+                if cn_cache is None or _refresh(s, cn_interval):
                     with jax.named_scope("controlnet"):
                         cn_cache = controlnet_apply(
                             params["controlnet"],
@@ -570,7 +586,7 @@ def frame_program(
                     down_block_additional_residuals=down_res,
                     mid_block_additional_residual=mid_res,
                 )
-            elif dc_cache is None or s % dc_interval == 0:
+            elif dc_cache is None or _refresh(s, dc_interval):
                 # DeepCache eval step: full pass + capture the deep trunk
                 # output (identical math to the plain pass; the capture is
                 # a free tensor alias)

@@ -954,6 +954,9 @@ class Engine:
             cn_interval = int(defaults.get("controlnet_interval", 1) or 1)
         if dc_interval is None:
             dc_interval = int(defaults.get("deepcache_interval", 1) or 1)
+        refresh_last = bool(defaults.get("interval_refresh_last", False)) and (
+            max(1, cn_interval) > 1 or max(1, dc_interval) > 1
+        )
         ih, iw = self.frame_hw
         for b in batch_sizes:
             for s in steps:
@@ -963,6 +966,7 @@ class Engine:
                     in_format=self.input_format,
                     controlnet_interval=max(1, cn_interval),
                     deepcache_interval=max(1, dc_interval),
+                    interval_refresh_last=refresh_last,
                 )
                 self._warm_spec(spec, ref_mode=False)
 
@@ -1513,20 +1517,28 @@ class Engine:
                     int(st.options["height"]), int(st.options["width"])
                 )
                 ref_mode = bool(st.options.get("ref"))
+                cn_i = max(1, int(st.options.get("controlnet_interval", 1) or 1))
+                # ref-mode FrameSpecs force deepcache_interval=1, so key
+                # on the EFFECTIVE value: ref streams differing only in
+                # this option compile to the identical program and must
+                # share one batch
+                dc_i = (
+                    1
+                    if ref_mode
+                    else max(1, int(st.options.get("deepcache_interval", 1) or 1))
+                )
                 key = (
                     int(st.options["steps"]),
                     h,
                     w,
                     ref_mode,
                     bool(st.options.get("controlnet", True)),
-                    max(1, int(st.options.get("controlnet_interval", 1) or 1)),
-                    # ref-mode FrameSpecs force deepcache_interval=1, so key
-                    # on the EFFECTIVE value: ref streams differing only in
-                    # this option compile to the identical program and must
-                    # share one batch
-                    1
-                    if ref_mode
-                    else max(1, int(st.options.get("deepcache_interval", 1) or 1)),
+                    cn_i,
+                    dc_i,
+                    # refresh-last only changes the program when a cache is
+                    # live — same effective-value rule as dc_i above
+                    bool(st.options.get("interval_refresh_last", False))
+                    and (cn_i > 1 or dc_i > 1),
                     self._stream_model(st),
                 )
                 groups.setdefault(key, []).append((st, buf, ts))
@@ -1553,7 +1565,10 @@ class Engine:
 
         from videosd_tpu.pipelines.lcm_img2img import FrameSpec
 
-        (steps, h, w, ref_mode, use_cn, cn_interval, dc_interval, model) = key
+        (
+            steps, h, w, ref_mode, use_cn, cn_interval, dc_interval,
+            refresh_last, model,
+        ) = key
         b = self._bucket_batch(len(items))
         spec = FrameSpec(
             batch=b,
@@ -1568,6 +1583,7 @@ class Engine:
             # the reference-attention program has its own double-pass UNet
             # path; DeepCache applies to the plain img2img program only
             deepcache_interval=1 if ref_mode else dc_interval,
+            interval_refresh_last=refresh_last,
         )
         # compile-stall avoidance: a fresh bucket (steps slider moved, a
         # resolution renegotiation, or more concurrent streams than any

@@ -56,8 +56,38 @@ def structured_frame(idx: int, h: int = 512, w: int = 512) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-# (controlnet_interval, deepcache_interval); (1, 1) is reference parity
-LADDER = [(1, 1), (2, 1), (4, 1), (1, 2), (1, 3), (2, 2), (4, 2), (4, 3)]
+# (controlnet_interval, deepcache_interval, interval_refresh_last);
+# (1, 1, False) is reference parity.  The +last rows re-evaluate both
+# caches on the final denoise step (FrameSpec.interval_refresh_last) —
+# round-4 trained-weight gating found final-step freshness dominates
+# interval quality cost.
+LADDER = [
+    (1, 1, False),
+    (2, 1, False),
+    (4, 1, False),
+    (1, 2, False),
+    (1, 3, False),
+    (2, 2, False),
+    (4, 2, False),
+    (4, 3, False),
+    (2, 1, True),
+    (4, 1, True),
+    (2, 2, True),
+    (4, 2, True),
+]
+
+
+def parse_ladder(text: str) -> list:
+    """"cn:dc[,cn:dc+last,...]" -> [(cn, dc, refresh_last), ...]."""
+    out = []
+    for part in text.split(","):
+        part = part.strip()
+        rl = part.endswith("+last")
+        if rl:
+            part = part[: -len("+last")]
+        cn, dc = part.split(":")
+        out.append((int(cn), int(dc), rl))
+    return out
 
 
 def main() -> None:
@@ -69,6 +99,12 @@ def main() -> None:
     ap.add_argument("--skip-fps", action="store_true")
     ap.add_argument("--json", default=None)
     ap.add_argument("--weights", default=None, help="checkpoint dir (optional)")
+    ap.add_argument(
+        "--ladder",
+        default=None,
+        help='custom sweep, e.g. "1:1,4:2,4:2+last" (cn:dc[+last]); '
+        "default = the module LADDER",
+    )
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--steps", type=int, default=4)
     args = ap.parse_args()
@@ -104,8 +140,11 @@ def main() -> None:
     guidance = jnp.array([5.0], jnp.float32)
     cn_scale = jnp.array([2.0], jnp.float32)
 
+    ladder = parse_ladder(args.ladder) if args.ladder else list(LADDER)
+    if (1, 1, False) not in ladder:
+        ladder.insert(0, (1, 1, False))  # the quality metric's identity
     programs = {}
-    for cn_i, dc_i in LADDER:
+    for cn_i, dc_i, rl in ladder:
         spec = FrameSpec(
             batch=1,
             height=hw,
@@ -113,6 +152,7 @@ def main() -> None:
             steps=args.steps,
             controlnet_interval=cn_i,
             deepcache_interval=dc_i,
+            interval_refresh_last=rl,
         )
         t0 = time.perf_counter()
         prog = build_frame_program(bundle, spec)
@@ -135,19 +175,19 @@ def main() -> None:
             except Exception as e:  # jax.errors.JaxRuntimeError
                 if attempt == 2:
                     raise
-                print(f"# compile retry cn={cn_i} dc={dc_i}: {e}", flush=True)
+                print(f"# compile retry cn={cn_i} dc={dc_i} rl={rl}: {e}", flush=True)
                 time.sleep(5)
-        programs[(cn_i, dc_i)] = prog
+        programs[(cn_i, dc_i, rl)] = prog
         print(
-            f"# compiled cn={cn_i} dc={dc_i} in {time.perf_counter() - t0:.1f}s",
+            f"# compiled cn={cn_i} dc={dc_i} rl={int(rl)} in {time.perf_counter() - t0:.1f}s",
             flush=True,
         )
 
     # ---- quality: every config vs parity on the fixed frame/seed grid ----
     ref_out: dict[tuple[int, int], np.ndarray] = {}
-    quality: dict[tuple[int, int], dict] = {}
-    for cn_i, dc_i in LADDER:
-        prog = programs[(cn_i, dc_i)]
+    quality: dict[tuple, dict] = {}
+    for cn_i, dc_i, rl in ladder:
+        prog = programs[(cn_i, dc_i, rl)]
         psnrs, ssims = [], []
         for fi, fr in enumerate(frames):
             for si in range(args.seeds):
@@ -162,33 +202,41 @@ def main() -> None:
                     seed,
                 )
                 img = np.asarray(out[0])
-                if (cn_i, dc_i) == (1, 1):
+                if (cn_i, dc_i, rl) == (1, 1, False):
                     ref_out[(fi, si)] = img
                 else:
                     psnrs.append(psnr(ref_out[(fi, si)], img))
                     ssims.append(ssim(ref_out[(fi, si)], img))
-        if (cn_i, dc_i) != (1, 1):
-            quality[(cn_i, dc_i)] = {
+        if (cn_i, dc_i, rl) != (1, 1, False):
+            quality[(cn_i, dc_i, rl)] = {
                 "psnr_mean": round(float(np.mean(psnrs)), 2),
                 "psnr_min": round(float(np.min(psnrs)), 2),
                 "ssim_mean": round(float(np.mean(ssims)), 4),
                 "ssim_min": round(float(np.min(ssims)), 4),
             }
         else:
-            quality[(cn_i, dc_i)] = {
+            quality[(cn_i, dc_i, rl)] = {
                 "psnr_mean": float("inf"),
                 "psnr_min": float("inf"),
                 "ssim_mean": 1.0,
                 "ssim_min": 1.0,
             }
-        print(f"# quality cn={cn_i} dc={dc_i}: {quality[(cn_i, dc_i)]}", flush=True)
+        print(
+            f"# quality cn={cn_i} dc={dc_i} rl={int(rl)}: {quality[(cn_i, dc_i, rl)]}",
+            flush=True,
+        )
 
     # ---- throughput + latency (serialized AFTER all compiles/quality) ----
     results = []
     frame0 = jnp.asarray(frames[0][None])
-    for cn_i, dc_i in LADDER:
-        prog = programs[(cn_i, dc_i)]
-        row = {"cn_interval": cn_i, "dc_interval": dc_i, **quality[(cn_i, dc_i)]}
+    for cn_i, dc_i, rl in ladder:
+        prog = programs[(cn_i, dc_i, rl)]
+        row = {
+            "cn_interval": cn_i,
+            "dc_interval": dc_i,
+            "refresh_last": rl,
+            **quality[(cn_i, dc_i, rl)],
+        }
         if not args.skip_fps:
 
             def window(n: int) -> float:
@@ -235,11 +283,12 @@ def main() -> None:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)
     # markdown Pareto table for PERF.md
-    print("\n| cn | dc | FPS | p50 ms | PSNR mean/min | SSIM mean/min |")
-    print("|---|---|---|---|---|---|")
+    print("\n| cn | dc | +last | FPS | p50 ms | PSNR mean/min | SSIM mean/min |")
+    print("|---|---|---|---|---|---|---|")
     for r in results:
         print(
-            f"| {r['cn_interval']} | {r['dc_interval']} | {r.get('fps', '—')} "
+            f"| {r['cn_interval']} | {r['dc_interval']} "
+            f"| {'y' if r['refresh_last'] else ''} | {r.get('fps', '—')} "
             f"| {r.get('p50_ms', '—')} | {r['psnr_mean']}/{r['psnr_min']} "
             f"| {r['ssim_mean']}/{r['ssim_min']} |"
         )
