@@ -26,6 +26,7 @@ const defaults = {
   controlnet_scale: 2,
   controlnet_interval: 1,
   deepcache_interval: 1,
+  interval_refresh_last: false,
   model: "",
   width: 512,
   height: 512,
@@ -86,6 +87,7 @@ $("seed").addEventListener("change", (e) => sendOption("seed", parseInt(e.target
 // the datalist fills from /stats.models while polling runs
 $("model").addEventListener("change", (e) => sendOption("model", e.target.value.trim()));
 $("controlnet").addEventListener("change", (e) => sendOption("controlnet", e.target.checked));
+$("interval_refresh_last").addEventListener("change", (e) => sendOption("interval_refresh_last", e.target.checked));
 $("ref").addEventListener("change", (e) => sendOption("ref", e.target.checked));
 $("setRefBtn").addEventListener("click", () => sendOption("set_ref", true));
 let promptTimer = null;

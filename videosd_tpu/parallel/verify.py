@@ -78,8 +78,12 @@ def verify_flagship_dp_tp(
 
     enc = build_prompt_encoder(bundle)
     ids = jnp.asarray(bundle.tokenizer(["portrait, pixar, cg"]), jnp.int32)
-    ctx, _ = enc(bundle.params, ids)
+    ctx, pooled = enc(bundle.params, ids)
     embeds = jnp.concatenate([ctx] * b, axis=0)
+    kw = {}
+    if bundle.unet_cfg.addition_embed_type == "text_time":
+        # SDXL micro-conditioning: pooled embeds ride the data axis too
+        kw["pooled_embeds"] = jnp.concatenate([pooled] * b, axis=0)
     frames = jnp.asarray(
         np.stack([structured_frame(i, size, size) for i in range(b)])
     )
@@ -88,11 +92,13 @@ def verify_flagship_dp_tp(
     cn = jnp.full((b,), 2.0, jnp.float32)
     seed = jnp.arange(23, 23 + b, dtype=jnp.int32)
 
-    out_sh, lat_sh = eng.run(spec, frames, embeds, strength, guidance, cn, seed)
+    out_sh, lat_sh = eng.run(spec, frames, embeds, strength, guidance, cn, seed, **kw)
     out_sh = np.asarray(out_sh)
 
     prog = build_frame_program(bundle, spec)
-    out_1, lat_1 = prog(bundle.params, frames, embeds, strength, guidance, cn, seed)
+    out_1, lat_1 = prog(
+        bundle.params, frames, embeds, strength, guidance, cn, seed, **kw
+    )
     out_1 = np.asarray(out_1)
 
     diff = np.abs(out_sh.astype(np.int32) - out_1.astype(np.int32))

@@ -940,6 +940,7 @@ class Engine:
     def warmup(
         self, batch_sizes=(1,), steps=(4,), height=512, width=512,
         cn_interval: int | None = None, dc_interval: int | None = None,
+        refresh_last: bool | None = None,
     ):
         """Ahead-of-time compile the hot buckets (SURVEY.md §7 "hard parts":
         compile stalls kill p50).  batch_sizes are per-data-shard: the
@@ -954,7 +955,9 @@ class Engine:
             cn_interval = int(defaults.get("controlnet_interval", 1) or 1)
         if dc_interval is None:
             dc_interval = int(defaults.get("deepcache_interval", 1) or 1)
-        refresh_last = bool(defaults.get("interval_refresh_last", False)) and (
+        if refresh_last is None:
+            refresh_last = bool(defaults.get("interval_refresh_last", False))
+        refresh_last = refresh_last and (
             max(1, cn_interval) > 1 or max(1, dc_interval) > 1
         )
         ih, iw = self.frame_hw

@@ -49,6 +49,12 @@ def main(argv=None) -> None:
         help="warm the deepcache_interval=k turbo variant of every"
         " bucket (1 = reference-parity programs)",
     )
+    p.add_argument(
+        "--refresh-last",
+        action="store_true",
+        help="warm the interval_refresh_last variant (final-step cache"
+        " refresh; no effect when both intervals are 1)",
+    )
     args = p.parse_args(argv)
 
     from videosd_tpu.config import load_config
@@ -64,7 +70,7 @@ def main(argv=None) -> None:
             t0 = time.perf_counter()
             engine.warmup(
                 batch_sizes=(b,), steps=(s,), cn_interval=args.cn_interval,
-                dc_interval=args.dc_interval,
+                dc_interval=args.dc_interval, refresh_last=args.refresh_last,
             )
             timings[f"b{b}_s{s}"] = round(time.perf_counter() - t0, 2)
     print(
