@@ -5,6 +5,18 @@ Baseline: the rebuild target of >=20 FPS/stream (BASELINE.md; the reference
 publishes no numbers of its own — its only runtime metric is the
 "Average gentime" EMA, diffusert/server.py:113-114).
 vs_baseline = measured_fps / 20.
+
+Two first-class numbers (PERF.md "Headline metric story"):
+* ``value``/``vs_baseline`` — the PARITY program (exact reference loop
+  semantics, no approximations).  Measured single-chip ceiling is ~17 FPS
+  perfect-case (~62% roofline device time, PERF.md); crossing 20 FPS in
+  parity mode requires dp/tp over >=2 chips — sharding rules are built
+  and equality-verified on an 8-device mesh, hardware absent on this rig.
+* ``production_turbo_cn2_dc3_last_fps``/``production_turbo_vs_baseline``
+  — the recommended production config (controlnet_interval=2 x
+  deepcache_interval=3 + interval_refresh_last), quality-gated vs the
+  parity program on TRAINED toy weights by tools/turbo_ladder.py
+  (31.3 dB / 0.979 SSIM); crosses the 20 FPS target on one chip.
 """
 
 from __future__ import annotations
@@ -116,10 +128,11 @@ def main() -> None:
     # so they never feed the headline value/vs_baseline, which stay the
     # parity program's numbers).  Quality deltas vs the parity program are
     # measured in tools/turbo_ladder.py and tabled in PERF.md.
-    def turbo_fps(cn_i: int, dc_i: int) -> float:
+    def turbo_fps(cn_i: int, dc_i: int, rl: bool = False) -> float:
         spec_t = FrameSpec(
             batch=1, height=512, width=512, steps=4,
             controlnet_interval=cn_i, deepcache_interval=dc_i,
+            interval_refresh_last=rl,
         )
         program_t = build_frame_program(bundle, spec_t)
         out, _ = program_t(bundle.params, frame, embeds, strength, guidance, cn, seed)
@@ -142,12 +155,25 @@ def main() -> None:
 
     fps_turbo = turbo_fps(4, 1)
     fps_dc = turbo_fps(1, 2)
-    # recommended production turbo (PERF.md turbo ladder): cn=4 x dc=2
-    fps_prod = turbo_fps(4, 2)
+    # recommended production turbo (PERF.md "Round 4: trained-weight
+    # quality gates"): cn=2 x dc=3 with interval_refresh_last — the
+    # strongest trained-toy gate above the 20 FPS target (31.3 dB PSNR /
+    # 0.979 SSIM vs parity; 21.3 FPS, p50 74.7 ms measured).  Round 3's
+    # cn4/dc2 recommendation was retired: its 59 dB gate was an artifact
+    # of a no-op random-init ControlNet and fell to 14.5 dB on trained
+    # weights.  First-class metric with its own vs_baseline: this is the
+    # configuration production actually serves at >=20 FPS on ONE chip.
+    fps_prod = turbo_fps(2, 3, rl=True)
 
     print(
         json.dumps(
             {
+                # headline stays the PARITY program (reference loop
+                # semantics, bit-honest): single-chip ceiling is ~17 FPS
+                # perfect-case (PERF.md roofline); parity >=20 FPS needs
+                # dp/tp over >=2 chips (parallel/ rules ready, single-chip
+                # rig here).  production_* is the quality-gated config
+                # that crosses the 20 FPS target on ONE chip.
                 "metric": "lcm_4step_512x512_img2img_fps_1stream",
                 "value": round(fps, 3),
                 "unit": "frames/s",
@@ -156,7 +182,8 @@ def main() -> None:
                 "batch4_aggregate_fps": round(fps4, 3),
                 "cn_interval4_turbo_fps": round(fps_turbo, 3),
                 "dc_interval2_turbo_fps": round(fps_dc, 3),
-                "production_turbo_cn4_dc2_fps": round(fps_prod, 3),
+                "production_turbo_cn2_dc3_last_fps": round(fps_prod, 3),
+                "production_turbo_vs_baseline": round(fps_prod / BASELINE_FPS, 4),
             }
         )
     )
