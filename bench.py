@@ -37,6 +37,24 @@ _setup_compile_cache()
 BASELINE_FPS = 20.0
 
 
+def _warm(fn, *args, attempts: int = 3):
+    """First call of a program compiles; retry the known tunnel flake
+    ("response body closed before all bytes were read" mid-remote-compile,
+    BACKLOG).  Finished compiles persist in the cache, so retries are
+    cheap.  The driver runs this file unattended at round end — a single
+    flake must not record a failed bench."""
+    for attempt in range(attempts):
+        try:
+            out = fn(*args)
+            jax.block_until_ready(out)
+            return out
+        except Exception as e:  # jax.errors.JaxRuntimeError
+            if attempt == attempts - 1:
+                raise
+            print(f"# compile retry: {e}", flush=True)
+            time.sleep(5)
+
+
 def main() -> None:
     from videosd_tpu.pipelines.lcm_img2img import (
         FrameSpec,
@@ -61,8 +79,7 @@ def main() -> None:
     seed = jnp.array([23], jnp.int32)
 
     # warmup/compile
-    out, lat = program(bundle.params, frame, embeds, strength, guidance, cn, seed)
-    jax.block_until_ready(out)
+    _warm(program, bundle.params, frame, embeds, strength, guidance, cn, seed)
 
     # throughput: pipelined dispatch (device-bound; JAX async dispatch hides
     # host/tunnel round trips, as the serving engine does in steady state).
@@ -108,8 +125,7 @@ def main() -> None:
         jnp.full((4,), 2.0, jnp.float32),
         jnp.arange(4, dtype=jnp.int32),
     )
-    out, _ = program4(bundle.params, frame4, embeds4, *args4)
-    jax.block_until_ready(out)
+    _warm(program4, bundle.params, frame4, embeds4, *args4)
     def fps4_window(n4: int = 12) -> float:
         t_start = time.perf_counter()
         outs = []
@@ -135,8 +151,7 @@ def main() -> None:
             interval_refresh_last=rl,
         )
         program_t = build_frame_program(bundle, spec_t)
-        out, _ = program_t(bundle.params, frame, embeds, strength, guidance, cn, seed)
-        jax.block_until_ready(out)
+        _warm(program_t, bundle.params, frame, embeds, strength, guidance, cn, seed)
 
         def win(n: int = 30) -> float:
             t_start = time.perf_counter()
