@@ -1,0 +1,231 @@
+"""Pipeline-parallelism tests on the 8-device virtual CPU mesh.
+
+The reference has no PP (SURVEY.md §2.4); parallel/pipe.py adds the
+stage-split tier for capacity-bound configs (SDXL 1024²).  These tests
+pin (1) the encoder/decoder split reproduces unet_apply exactly, (2) the
+2-stage pipelined UNet on disjoint submeshes (dp×tp inside each stage)
+matches the single-device forward, (3) stage params are placed ONLY on
+their own submesh (the memory claim), and (4) the full pipelined frame
+engine matches the monolithic frame program at parity semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videosd_tpu.models.unet import UNET_PRESETS, unet_apply, unet_init
+from videosd_tpu.parallel.pipe import (
+    PipelinedFrameEngine,
+    PipelinedUNet,
+    split_unet_params,
+    unet_decoder_apply,
+    unet_encoder_apply,
+)
+from videosd_tpu.pipelines.lcm_img2img import (
+    FrameSpec,
+    ModelBundle,
+    build_frame_program,
+    build_prompt_encoder,
+)
+
+
+def _unet_inputs(cfg, b=2, hw=8, seed=0):
+    rng = np.random.default_rng(seed)
+    sample = jnp.asarray(rng.standard_normal((b, hw, hw, cfg.in_channels)), jnp.float32)
+    t = jnp.asarray(rng.integers(0, 999, (b,)), jnp.int32)
+    ctx = jnp.asarray(
+        rng.standard_normal((b, 7, cfg.cross_attention_dim)), jnp.float32
+    )
+    kw = {}
+    if cfg.time_cond_proj_dim is not None:
+        kw["timestep_cond"] = jnp.asarray(
+            rng.standard_normal((b, cfg.time_cond_proj_dim)), jnp.float32
+        )
+    if cfg.addition_embed_type == "text_time":
+        pooled_dim = cfg.projection_class_embeddings_input_dim - 6 * cfg.addition_time_embed_dim
+        kw["added_cond_kwargs"] = {
+            "text_embeds": jnp.asarray(
+                rng.standard_normal((b, pooled_dim)), jnp.float32
+            ),
+            "time_ids": jnp.asarray(
+                np.tile([[8, 8, 0, 0, 8, 8]], (b, 1)), jnp.float32
+            ),
+        }
+    return sample, t, ctx, kw
+
+
+@pytest.mark.parametrize("family", ["tiny", "tiny-xl"])
+def test_split_apply_matches_unet_apply(family):
+    """Encoder+decoder halves = the monolithic forward, bit-exact (fp32,
+    same device: the split only moves function boundaries)."""
+    cfg = UNET_PRESETS[family]
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    sample, t, ctx, kw = _unet_inputs(cfg)
+
+    want = unet_apply(params, cfg, sample, t, ctx, **kw)
+
+    p0, p1 = split_unet_params(params)
+    x, down_res, temb = unet_encoder_apply(p0, cfg, sample, t, ctx, **kw)
+    got = unet_decoder_apply(p1, cfg, x, down_res, temb, ctx)
+
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_split_partition_is_total():
+    cfg = UNET_PRESETS["tiny"]
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    p0, p1 = split_unet_params(params)
+    merged = {**p0, **p1}
+    assert set(merged) == set(params)
+    with pytest.raises(ValueError):
+        split_unet_params({**params, "mystery": jnp.zeros(())})
+
+
+def test_pipelined_unet_matches_single_device():
+    """2 stages x (2 data x 2 model) over 8 CPU devices == unet_apply."""
+    cfg = UNET_PRESETS["tiny"]
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    sample, t, ctx, kw = _unet_inputs(cfg, b=4)
+
+    want = np.asarray(unet_apply(params, cfg, sample, t, ctx, **kw))
+    pipe = PipelinedUNet(params, cfg, model_parallel=2)
+    got = np.asarray(pipe(sample, t, ctx, **kw))
+
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_stage_params_live_only_on_their_submesh():
+    """The capacity claim: each stage's weights occupy ONLY its devices."""
+    cfg = UNET_PRESETS["tiny"]
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    pipe = PipelinedUNet(params, cfg, model_parallel=2)
+
+    dev0 = set(pipe.mesh0.devices.flat)
+    dev1 = set(pipe.mesh1.devices.flat)
+    assert dev0.isdisjoint(dev1) and len(dev0) == len(dev1) == 4
+
+    for leaf in jax.tree.leaves(pipe.p0):
+        assert set(leaf.sharding.device_set) <= dev0
+    for leaf in jax.tree.leaves(pipe.p1):
+        assert set(leaf.sharding.device_set) <= dev1
+
+
+def test_pipelined_unet_with_controlnet_matches():
+    """CN rides stage 0; residual adds pre-transfer == unet_apply's adds."""
+    from videosd_tpu.models.controlnet import controlnet_apply, controlnet_init
+
+    cfg = UNET_PRESETS["tiny"]
+    params = unet_init(jax.random.PRNGKey(0), cfg)
+    cn_params = controlnet_init(jax.random.PRNGKey(1), cfg)
+    sample, t, ctx, kw = _unet_inputs(cfg, b=4)
+    rng = np.random.default_rng(3)
+    ctrl = jnp.asarray(rng.random((4, 64, 64, 3)), jnp.float32)
+    scale = jnp.asarray([1.5, 0.5, 2.0, 0.0], jnp.float32)
+
+    down, mid = controlnet_apply(
+        cn_params, cfg, sample, t, ctx, ctrl, conditioning_scale=scale,
+        timestep_cond=kw.get("timestep_cond"),
+    )
+    want = np.asarray(
+        unet_apply(
+            params, cfg, sample, t, ctx,
+            down_block_additional_residuals=down,
+            mid_block_additional_residual=mid,
+            **kw,
+        )
+    )
+
+    pipe = PipelinedUNet(params, cfg, controlnet_params=cn_params, model_parallel=1)
+    got = np.asarray(pipe(sample, t, ctx, ctrl=ctrl, cn_scale=scale, **kw))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def _frame_inputs(bundle, spec, seed=0):
+    rng = np.random.default_rng(seed)
+    b = spec.batch
+    frames = jnp.asarray(
+        rng.integers(0, 256, (b, spec.height, spec.width, 3), dtype=np.uint8)
+    )
+    enc = build_prompt_encoder(bundle)
+    ids = jnp.asarray(bundle.tokenizer(["a cat"] * 1), jnp.int32)
+    ctx, pooled = enc(bundle.params, ids)
+    embeds = jnp.concatenate([ctx] * b, axis=0)
+    kw = {}
+    if bundle.unet_cfg.addition_embed_type == "text_time":
+        kw["pooled_embeds"] = jnp.concatenate([pooled] * b, axis=0)
+    strength = jnp.linspace(0.5, 0.8, b).astype(jnp.float32)
+    guidance = jnp.full((b,), 5.0, jnp.float32)
+    cn = jnp.full((b,), 2.0, jnp.float32)
+    seeds = jnp.arange(7, 7 + b, dtype=jnp.int32)
+    return frames, embeds, strength, guidance, cn, seeds, kw
+
+
+@pytest.mark.parametrize(
+    "family",
+    [
+        "tiny",
+        # the sdxl-topology variant (text_time conditioning through both
+        # stages) compiles a second full program pair — slow tier
+        pytest.param("tiny-xl", marks=pytest.mark.slow),
+    ],
+)
+def test_pipelined_frame_engine_matches_frame_program(family):
+    """Full-chain equality: pipelined engine == monolithic program.
+
+    fp32; the stage cut only moves jit boundaries, so uint8 outputs agree
+    within reduction-order tolerance (the dp x tp verify's bar,
+    parallel/verify.py)."""
+    bundle = ModelBundle.random(family, dtype=jnp.float32, with_controlnet=True)
+    spec = FrameSpec(batch=2, height=64, width=64, steps=2)
+    frames, embeds, strength, guidance, cn, seeds, kw = _frame_inputs(bundle, spec)
+
+    prog = build_frame_program(bundle, spec)
+    want_img, want_lat = prog(
+        bundle.params, frames, embeds, strength, guidance, cn, seeds, **kw
+    )
+
+    eng = PipelinedFrameEngine(bundle, model_parallel=2)
+    got_img, got_lat = eng.run(
+        spec, frames, embeds, strength, guidance, cn, seeds, **kw
+    )
+
+    diff = np.abs(
+        np.asarray(got_img).astype(np.int32) - np.asarray(want_img).astype(np.int32)
+    )
+    assert diff.max() <= 2, f"max u8 diff {diff.max()}"
+    np.testing.assert_allclose(
+        np.asarray(got_lat, np.float32), np.asarray(want_lat, np.float32),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+@pytest.mark.slow
+def test_pipelined_engine_overlapped_schedule_matches():
+    """run_pipelined with 2 concurrent microbatches: same outputs as two
+    independent runs (the interleaved dispatch changes timing, not math)."""
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=True)
+    spec = FrameSpec(batch=2, height=64, width=64, steps=2)
+    in_a = _frame_inputs(bundle, spec, seed=0)
+    in_b = _frame_inputs(bundle, spec, seed=1)
+
+    eng = PipelinedFrameEngine(bundle, model_parallel=2)
+    outs = eng.run_pipelined(
+        spec,
+        [
+            dict(frame_u8=a, embeds=b, strength=c, guidance=d, cn=e, seed=f, **kw)
+            for (a, b, c, d, e, f, kw) in (in_a, in_b)
+        ],
+    )
+    solo = [eng.run(spec, *args[:-1], **args[-1]) for args in (in_a, in_b)]
+    for (img_p, lat_p), (img_s, lat_s) in zip(outs, solo):
+        np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_s))
+        np.testing.assert_array_equal(np.asarray(lat_p), np.asarray(lat_s))
+
+
+def test_pipelined_engine_rejects_turbo_specs():
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32)
+    eng = PipelinedFrameEngine(bundle, model_parallel=2)
+    spec = FrameSpec(batch=2, height=64, width=64, steps=2, controlnet_interval=2)
+    with pytest.raises(ValueError, match="parity-only"):
+        eng.run(spec, *_frame_inputs(bundle, spec)[:-1])
