@@ -11,6 +11,14 @@ and loading them on a host with different CPU features fails with
 MULTICHIP_r03: a cache written on an AMX-class builder poisoned the
 driver rig).  TPU artifacts are serialized HLO and stay portable, so
 the TPU subdir is keyed by backend alone.
+
+Residual (upstream XLA, round-4 measurement): XLA:CPU bakes tuning
+pseudo-features (``+prefer-no-gather``/``+prefer-no-scatter``) into some
+AOT artifacts that host feature detection never reports, so those
+entries fail to load EVEN ON THE HOST THAT WROTE THEM and recompile —
+noisy ``cpu_aot_loader`` stderr, correct results.  The rest of the cache
+still hits (same-process-count rerun of the PP verify: 76 s cold ->
+40 s warm), so the cache stays on for CPU.
 """
 
 from __future__ import annotations

@@ -169,9 +169,14 @@ class ServerConfig:
     family: str = "sd15"
     # dtype for model params/compute
     dtype: str = "bfloat16"
-    # mesh axis sizes; data * model must equal `gpus`
+    # mesh axis sizes; data * model * pipe must equal `gpus`
     mesh_data: int | None = None
     mesh_model: int = 1
+    # pipeline-parallel stages (parallel/pipe.py): 1 = off (default,
+    # dp x tp serving), 2 = split the UNet at its waist over two disjoint
+    # submeshes of gpus/2 devices each (the capacity lever for
+    # SDXL-1024²-class configs).  Single-model serving only.
+    mesh_pipe: int = 1
     # diffused-output wire format off the device: "rgb" (u8 NHWC) or
     # "i420" (packed planar 4:2:0, ops.rgb_to_i420).  i420 halves the
     # device->host bytes per frame AND feeds libjpeg / VP8 encoders their
@@ -348,14 +353,25 @@ class ServerConfig:
                     )
                 norm[name] = entry
             cfg.models = norm
+        pipe = max(1, cfg.mesh_pipe)
+        if pipe not in (1, 2):
+            # the PP implementation cuts the UNet at its waist — exactly
+            # two stages (parallel/pipe.py)
+            raise ValueError(f"mesh_pipe must be 1 or 2, got {cfg.mesh_pipe}")
+        if pipe > 1 and cfg.models:
+            raise ValueError(
+                "mesh_pipe serving is single-model: stage params are placed "
+                "at engine build, so the `models:` registry's per-batch "
+                "param swap cannot apply (drop `models:` or mesh_pipe)"
+            )
         if cfg.mesh_data is None:
-            cfg.mesh_data = max(1, cfg.gpus // max(1, cfg.mesh_model))
-        elif cfg.mesh_data * max(1, cfg.mesh_model) != max(1, cfg.gpus):
+            cfg.mesh_data = max(1, cfg.gpus // (max(1, cfg.mesh_model) * pipe))
+        elif cfg.mesh_data * max(1, cfg.mesh_model) * pipe != max(1, cfg.gpus):
             # a silently-ignored mesh spec would serve on the wrong number
             # of chips; fail loudly at config load
             raise ValueError(
                 f"mesh_data ({cfg.mesh_data}) x mesh_model ({cfg.mesh_model})"
-                f" must equal gpus ({cfg.gpus})"
+                f" x mesh_pipe ({pipe}) must equal gpus ({cfg.gpus})"
             )
         return cfg
 

@@ -11,9 +11,12 @@ server.py:317-321).  Here scaling is a ``jax.sharding.Mesh`` with axes
 * ``model`` — tensor parallelism over attention heads and MLP hidden dims
   for configs that don't fit or need lower latency (SDXL 1024²).
 
-Pipeline/sequence/expert parallelism are intentionally absent, matching
-the reference's parallelism inventory (SURVEY.md §2.4): its max sequence
-is 77 text tokens; spatial scale-out is handled by TP + the data axis.
+Pipeline parallelism lives in parallel/pipe.py (a 2-stage UNet waist
+split over disjoint submeshes — the capacity lever for SDXL-1024²-class
+configs; config ``mesh_pipe``).  Sequence/expert parallelism are
+intentionally absent, matching the reference's inventory (SURVEY.md
+§2.4): its max sequence is 77 text tokens (the spatial analog is VAE
+tiling, ops/tiling.py).
 """
 
 from __future__ import annotations

@@ -346,6 +346,28 @@ class PipelinedFrameEngine:
     def data_size(self) -> int:
         return self.pipe.mesh0.shape["data"]
 
+    def refresh_params(self) -> None:
+        """Re-place stage params from the (mutated) bundle — device_put
+        transfers only, NO recompiles: every jitted stage program takes
+        its params as arguments, so a same-structure checkpoint swap
+        (runtime/engine.swap_params) keeps all executables."""
+        from videosd_tpu.parallel.mesh import shard_params
+
+        params = self.bundle.params
+        p0, p1 = split_unet_params(params["unet"])
+        self.pipe.p0 = shard_params(p0, self.pipe.mesh0)
+        self.pipe.p1 = shard_params(p1, self.pipe.mesh1)
+        if self.pipe.cn is not None and "controlnet" in params:
+            self.pipe.cn = shard_params(params["controlnet"], self.pipe.mesh0)
+        for name in ("taesd", "vae"):
+            if name in params:
+                self.vae0[name] = shard_params(
+                    {"encoder": params[name]["encoder"]}, self.pipe.mesh0
+                )
+                self.vae1[name] = shard_params(
+                    {"decoder": params[name]["decoder"]}, self.pipe.mesh1
+                )
+
     # ---------------------------------------------------------------- build
 
     def _build(self, spec):
@@ -353,6 +375,7 @@ class PipelinedFrameEngine:
         from videosd_tpu.schedulers import step as sched_step
         from videosd_tpu.schedulers import timestep_schedule
         from videosd_tpu.ops import (
+            crop_resize,
             i420_to_rgb255,
             postprocess_image,
             preprocess_frame,
@@ -371,14 +394,21 @@ class PipelinedFrameEngine:
         dtype = bundle.dtype
         B, S = spec.batch, spec.steps
 
-        def prelude(vae0, frame_u8, strength, guidance, seed):
+        def prelude(vae0, frame_u8, strength, guidance, seed,
+                    warm_latents, warm_alpha, src_box):
             # mirror of frame_program's pre-loop section (lcm_img2img.py)
             with jax.named_scope("preprocess"):
                 if spec.in_format == "i420":
                     frame_u8 = i420_to_rgb255(frame_u8)
-                img01 = preprocess_frame(
-                    frame_u8, spec.height, spec.width, dtype=jnp.float32
-                )
+                if src_box is not None:
+                    img01 = crop_resize(
+                        frame_u8, src_box, spec.height, spec.width,
+                        dtype=jnp.float32,
+                    )
+                else:
+                    img01 = preprocess_frame(
+                        frame_u8, spec.height, spec.width, dtype=jnp.float32
+                    )
                 ctrl = None
                 if spec.use_controlnet:
                     ctrl = sobel_control_image(
@@ -387,6 +417,12 @@ class PipelinedFrameEngine:
                 img_pm1 = (img01 * 2.0 - 1.0).astype(dtype)
             with jax.named_scope("vae_encode"):
                 latents0 = _encode_latents(cfgs, vae0, spec, img_pm1)
+            if warm_latents is not None:
+                a = jnp.asarray(warm_alpha, jnp.float32)[:, None, None, None]
+                latents0 = (
+                    (1.0 - a) * latents0.astype(jnp.float32)
+                    + a * warm_latents.astype(jnp.float32)
+                ).astype(latents0.dtype)
 
             ts, valid = jax.vmap(
                 lambda s: timestep_schedule(sched_cfg, S, s, spec.lcm_origin_steps)
@@ -459,13 +495,15 @@ class PipelinedFrameEngine:
     # ----------------------------------------------------------------- run
 
     def _start(self, spec, frame_u8, embeds, strength, guidance, cn, seed,
-               pooled_embeds=None):
+               pooled_embeds=None, warm_latents=None, warm_alpha=None,
+               src_box=None):
         """Dispatch the prelude; returns the mutable per-microbatch state."""
         progs = self._progs(spec)
         put0, put1 = self.pipe._put0, self.pipe._put1
         bundle = self.bundle
         latents, latents0, ctrl, ts, valid, keys, w_emb = progs["prelude"](
-            self.vae0, put0(frame_u8), put0(strength), put0(guidance), put0(seed)
+            self.vae0, put0(frame_u8), put0(strength), put0(guidance), put0(seed),
+            put0(warm_latents), put0(warm_alpha), put0(src_box),
         )
         added = None
         if bundle.unet_cfg.addition_embed_type == "text_time":
@@ -536,7 +574,8 @@ class PipelinedFrameEngine:
         return images, st["denoised"]
 
     def run(self, spec, frame_u8, embeds, strength, guidance, cn, seed,
-            pooled_embeds=None):
+            pooled_embeds=None, warm_latents=None, warm_alpha=None,
+            src_box=None):
         """One batch through the pipelined chain (ShardedFrameEngine.run
         contract).  Single-batch calls serialize the two stages — use
         :meth:`run_pipelined` with >=2 concurrent microbatches to fill
@@ -545,8 +584,36 @@ class PipelinedFrameEngine:
             spec,
             [dict(frame_u8=frame_u8, embeds=embeds, strength=strength,
                   guidance=guidance, cn=cn, seed=seed,
-                  pooled_embeds=pooled_embeds)],
+                  pooled_embeds=pooled_embeds, warm_latents=warm_latents,
+                  warm_alpha=warm_alpha, src_box=src_box)],
         )[0]
+
+    def serving_program(self, spec):
+        """A runtime/engine-compatible program: same call signature as a
+        (sharded) build_frame_program jit, dispatching through the
+        pipelined chain.  ``params`` must be THIS engine's bundle params —
+        stage placement happens at construction (or refresh_params), so
+        the multi-model registry's swap-params-per-batch trick can't apply
+        here (mesh_pipe serving is single-model; config validation
+        enforces it).
+        """
+
+        def prog(params, frame_u8, embeds, strength, guidance, cn, seed,
+                 warm_latents=None, warm_alpha=None, pooled_embeds=None,
+                 src_box=None):
+            if params is not self.bundle.params:
+                raise ValueError(
+                    "pipelined serving runs the stage-placed bundle params; "
+                    "per-batch param swapping (models registry) is not "
+                    "supported under mesh_pipe"
+                )
+            return self.run(
+                spec, frame_u8, embeds, strength, guidance, cn, seed,
+                pooled_embeds=pooled_embeds, warm_latents=warm_latents,
+                warm_alpha=warm_alpha, src_box=src_box,
+            )
+
+        return prog
 
     def run_pipelined(self, spec, batches: list[dict]):
         """Run several microbatches with interleaved dispatch so stage 0

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["verify_flagship_dp_tp"]
+__all__ = ["verify_flagship_dp_tp", "verify_pipeline_parallel"]
 
 
 def verify_flagship_dp_tp(
@@ -115,4 +115,96 @@ def verify_flagship_dp_tp(
     }
     if diff.max() > max_u8_diff or not lat_ok:
         raise AssertionError(f"sharded != single-device: {result}")
+    return result
+
+
+def verify_pipeline_parallel(
+    n_devices: int,
+    *,
+    model_parallel: int = 2,
+    family: str = "tiny",
+    size: int = 64,
+    steps: int = 2,
+    max_u8_diff: int = 2,
+) -> dict:
+    """Pipeline-parallel numerics verification (the §2.4 PP row).
+
+    Runs the frame program through parallel/pipe.PipelinedFrameEngine —
+    2 UNet stages on disjoint ("data","model") submeshes, dp x tp inside
+    each — and asserts output equality with the single-device monolithic
+    program on the same inputs, plus stage-LOCAL param placement (the
+    capacity claim PP exists for).  Same tolerance rationale as
+    verify_flagship_dp_tp: fp32, reduction-order-level differences only.
+    """
+    from videosd_tpu.compile_cache import setup as setup_cache
+
+    setup_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from videosd_tpu.parallel.pipe import PipelinedFrameEngine
+    from videosd_tpu.pipelines.lcm_img2img import (
+        FrameSpec,
+        ModelBundle,
+        build_frame_program,
+        build_prompt_encoder,
+    )
+    from videosd_tpu.tools.turbo_ladder import structured_frame
+
+    bundle = ModelBundle.random(family, dtype=jnp.float32)
+    eng = PipelinedFrameEngine(
+        bundle, devices=jax.devices()[:n_devices], model_parallel=model_parallel
+    )
+    b = eng.data_size
+    spec = FrameSpec(batch=b, height=size, width=size, steps=steps)
+
+    # the memory claim: each stage's params occupy ONLY its submesh
+    dev0 = set(eng.pipe.mesh0.devices.flat)
+    dev1 = set(eng.pipe.mesh1.devices.flat)
+    assert dev0.isdisjoint(dev1)
+    for leaf in jax.tree.leaves((eng.pipe.p0, eng.vae0)):
+        assert set(leaf.sharding.device_set) <= dev0
+    for leaf in jax.tree.leaves((eng.pipe.p1, eng.vae1)):
+        assert set(leaf.sharding.device_set) <= dev1
+
+    enc = build_prompt_encoder(bundle)
+    ids = jnp.asarray(bundle.tokenizer(["portrait, pixar, cg"]), jnp.int32)
+    ctx, pooled = enc(bundle.params, ids)
+    embeds = jnp.concatenate([ctx] * b, axis=0)
+    kw = {}
+    if bundle.unet_cfg.addition_embed_type == "text_time":
+        kw["pooled_embeds"] = jnp.concatenate([pooled] * b, axis=0)
+    frames = jnp.asarray(
+        np.stack([structured_frame(i, size, size) for i in range(b)])
+    )
+    strength = jnp.linspace(0.4, 0.8, b).astype(jnp.float32)
+    guidance = jnp.full((b,), 5.0, jnp.float32)
+    cn = jnp.full((b,), 2.0, jnp.float32)
+    seed = jnp.arange(23, 23 + b, dtype=jnp.int32)
+
+    out_pp, lat_pp = eng.run(spec, frames, embeds, strength, guidance, cn, seed, **kw)
+    out_pp = np.asarray(out_pp)
+
+    prog = build_frame_program(bundle, spec)
+    out_1, lat_1 = prog(
+        bundle.params, frames, embeds, strength, guidance, cn, seed, **kw
+    )
+    out_1 = np.asarray(out_1)
+
+    diff = np.abs(out_pp.astype(np.int32) - out_1.astype(np.int32))
+    lat_ok = np.allclose(
+        np.asarray(lat_pp, np.float32), np.asarray(lat_1, np.float32),
+        rtol=1e-4, atol=1e-4,
+    )
+    result = {
+        "max_diff": int(diff.max()),
+        "mean_diff": float(diff.mean()),
+        "latents_allclose": bool(lat_ok),
+        "stage_mesh": (eng.pipe.mesh0.shape["data"], eng.pipe.mesh0.shape["model"]),
+        "stages": 2,
+        "batch": b,
+    }
+    if diff.max() > max_u8_diff or not lat_ok:
+        raise AssertionError(f"pipelined != single-device: {result}")
     return result

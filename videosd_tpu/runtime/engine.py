@@ -147,6 +147,12 @@ class Engine:
         self._mesh = None
         self._mesh_checked = False
         self._mesh_params = None
+        # pipeline-parallel serving (config mesh_pipe=2, parallel/pipe.py):
+        # the UNet stage-split over two disjoint submeshes.  Mutually
+        # exclusive with the flat mesh above — when active, `mesh` stays
+        # None and programs come from PipelinedFrameEngine.serving_program
+        self._pipe_engine = None
+        self._pipe_checked = False
         # abstract (args, kwargs) shapes per program key, captured at first
         # dispatch — lets /profile AOT-relower the program to symbolize HLO
         # fusion names back to model blocks (hlo_symbols)
@@ -361,6 +367,10 @@ class Engine:
             # params before publishing keeps self.params always consistent
             self._mesh_params = shard_params(params, self.mesh)
         self.bundle.params = params
+        if self.pipe_engine is not None:
+            # re-place stage params (device_put transfers only; the stage
+            # executables take params as arguments, so no recompiles)
+            self.pipe_engine.refresh_params()
         self._prompt_cache.clear()
         for st in self.streams.values():
             st.current_emb = None
@@ -379,6 +389,8 @@ class Engine:
         if not self._mesh_checked:
             self._mesh_checked = True
             n = int(self.config.gpus or 1)
+            if self.pipe_engine is not None:
+                n = 1  # PP owns the devices; no flat mesh
             if n > 1:
                 import jax
 
@@ -398,8 +410,39 @@ class Engine:
         return self._mesh
 
     @property
+    def pipe_engine(self):
+        """PipelinedFrameEngine when config asks for pipeline-parallel
+        serving (mesh_pipe=2), else None.  Degrades loudly to single-device
+        serving when the device count can't satisfy 2 x mesh_model."""
+        if not self._pipe_checked:
+            self._pipe_checked = True
+            pipe = max(1, int(getattr(self.config, "mesh_pipe", 1) or 1))
+            if pipe > 1:
+                import jax
+
+                n = int(self.config.gpus or 1)
+                mp = max(1, int(self.config.mesh_model or 1))
+                avail = len(jax.devices())
+                if avail < n or n % (pipe * mp):
+                    logging.getLogger("videosd_tpu.engine").warning(
+                        "mesh_pipe=%d x mesh_model=%d needs gpus=%d devices "
+                        "(%d available); serving unpipelined", pipe, mp, n, avail,
+                    )
+                else:
+                    from videosd_tpu.parallel.pipe import PipelinedFrameEngine
+
+                    self._pipe_engine = PipelinedFrameEngine(
+                        self.bundle,
+                        devices=jax.devices()[:n],
+                        model_parallel=mp,
+                    )
+        return self._pipe_engine
+
+    @property
     def data_axis(self) -> int:
         """Batch buckets must be multiples of this (rows shard evenly)."""
+        if self.pipe_engine is not None:
+            return self.pipe_engine.data_size
         return self.mesh.shape["data"] if self.mesh is not None else 1
 
     @property
@@ -808,6 +851,17 @@ class Engine:
                 )
 
                 prog = build_reference_program(self.bundle, spec)
+                if self.pipe_engine is not None:
+                    # the double-pass banked-attention program has no stage
+                    # split; it serves unsharded on the default device —
+                    # loud, once per spec, so ops can see the gap
+                    logging.getLogger("videosd_tpu.engine").warning(
+                        "ref_mode bucket %s serves UNPIPELINED under "
+                        "mesh_pipe (reference-attention has no stage split)",
+                        spec,
+                    )
+            elif self.pipe_engine is not None:
+                prog = self.pipe_engine.serving_program(spec)
             else:
                 from videosd_tpu.pipelines.lcm_img2img import build_frame_program
 
@@ -1867,11 +1921,20 @@ class Engine:
             ),
         )
         s["dispatch_threads"] = dict(self._dispatch_threads)
-        s["devices"] = (
-            {"data": self.mesh.shape["data"], "model": self.mesh.shape["model"]}
-            if self.mesh is not None
-            else {"data": 1, "model": 1}
-        )
+        if self.pipe_engine is not None:
+            m0 = self.pipe_engine.pipe.mesh0
+            s["devices"] = {
+                "data": m0.shape["data"],
+                "model": m0.shape["model"],
+                "pipe": 2,
+            }
+        elif self.mesh is not None:
+            s["devices"] = {
+                "data": self.mesh.shape["data"],
+                "model": self.mesh.shape["model"],
+            }
+        else:
+            s["devices"] = {"data": 1, "model": 1}
         s["weights_source"] = self.weights_source  # None = random init
         if self.model_names:
             s["models"] = {
