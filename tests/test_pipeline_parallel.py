@@ -326,3 +326,49 @@ def test_sdxl_pipelined_matches_single_device():
     assert result["stage_mesh"] == (2, 2)
     assert result["max_diff"] <= 2
     assert result["latents_allclose"]
+
+
+def test_engine_degrades_when_devices_short():
+    """mesh_pipe with more gpus than devices: warn + serve unpipelined
+    (the mesh property's degradation contract, extended to PP)."""
+    from videosd_tpu.config import ServerConfig
+    from videosd_tpu.runtime.engine import Engine
+
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32)
+    eng = Engine(
+        ServerConfig(gpus=16, mesh_model=1, mesh_pipe=2),
+        bundle=bundle,
+        frame_hw=(32, 32),
+    )
+    assert eng.pipe_engine is None
+    assert eng.data_axis >= 1  # falls through to mesh/single-device path
+
+
+def test_refresh_params_swaps_weights_without_rebuild():
+    """Live checkpoint swap under PP: re-place stage params (device_put
+    only), KEEP the jitted stage programs, outputs track the new weights."""
+    cfg = UNET_PRESETS["tiny"]
+    params_a = unet_init(jax.random.PRNGKey(0), cfg)
+    params_b = unet_init(jax.random.PRNGKey(9), cfg)
+    sample, t, ctx, kw = _unet_inputs(cfg, b=4)
+
+    import dataclasses
+
+    bundle = dataclasses.replace(
+        ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=False)
+    )
+    bundle.params = dict(bundle.params)
+    bundle.params["unet"] = params_a
+    eng = PipelinedFrameEngine(bundle, model_parallel=2)
+
+    out_a = np.asarray(eng.pipe(sample, t, ctx, **kw))
+    stage0_before = eng.pipe._stage0
+
+    bundle.params["unet"] = params_b
+    eng.refresh_params()
+    out_b = np.asarray(eng.pipe(sample, t, ctx, **kw))
+
+    assert eng.pipe._stage0 is stage0_before  # executables kept
+    want_b = np.asarray(unet_apply(params_b, cfg, sample, t, ctx, **kw))
+    np.testing.assert_allclose(out_b, want_b, rtol=2e-5, atol=2e-5)
+    assert np.abs(out_a - out_b).max() > 0  # weights really changed
