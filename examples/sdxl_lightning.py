@@ -38,6 +38,12 @@ def main(argv=None):
     p.add_argument("--strength", type=float, default=0.7)
     p.add_argument("--batch", type=int, default=0, help="default: data axis size")
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument(
+        "--pipe", action="store_true",
+        help="pipeline-parallel: 2 UNet stages on disjoint submeshes "
+        "(parallel/pipe.py) — the capacity mode when weights+activations "
+        "outgrow one chip; dp x tp inside each stage",
+    )
     p.add_argument("--family", default="sdxl")
     p.add_argument("--weights", help="local SDXL diffusers snapshot dir")
     p.add_argument("--tile", action="store_true", help="tiled TAESD decode")
@@ -65,7 +71,12 @@ def main(argv=None):
         print("note: no --weights; random init (shape/perf validation)", file=sys.stderr)
         bundle = ModelBundle.random(args.family, with_controlnet=False)
 
-    eng = ShardedFrameEngine(bundle, model_parallel=args.model_parallel)
+    if args.pipe:
+        from videosd_tpu.parallel.pipe import PipelinedFrameEngine
+
+        eng = PipelinedFrameEngine(bundle, model_parallel=args.model_parallel)
+    else:
+        eng = ShardedFrameEngine(bundle, model_parallel=args.model_parallel)
     b = args.batch or eng.data_size
     spec = FrameSpec(
         batch=b,

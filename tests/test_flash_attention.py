@@ -59,3 +59,24 @@ def test_flash_banked_kv_longer_than_q(rng):
     with pltpu.force_tpu_interpret_mode():
         out = flash_attention(q, kv, kv, num_heads=2)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 2e-3
+
+
+def test_flash_attention_is_differentiable(rng):
+    """Training through the flash kernel: custom_vjp routes the backward
+    through the XLA path (round-4 fix — pallas_call has no autodiff rule,
+    and the sd15 train step crashed on it; grads must match XLA's)."""
+    q = jnp.asarray(rng.standard_normal((1, 256, 80)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 256, 80)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 256, 80)), jnp.float32)
+
+    def loss(impl):
+        def f(q_, k_, v_):
+            return jnp.sum(attention(q_, k_, v_, num_heads=2, impl=impl) ** 2)
+        return f
+
+    gq_x, gk_x, gv_x = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gq_p, gk_p, gv_p = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+
+    for g_p, g_x in zip((gq_p, gk_p, gv_p), (gq_x, gk_x, gv_x)):
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-5, atol=1e-5)

@@ -15,6 +15,7 @@ TPU conventions:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -253,10 +254,11 @@ def attention(q, k, v, *, num_heads: int, mask=None, impl: str = "auto"):
         else:
             impl = "xla"
     if impl == "pallas":
-        from videosd_tpu.ops.pallas.flash_attention import flash_attention
+        return _attention_pallas_diff(q, k, v, num_heads)
+    return _attention_xla(q, k, v, num_heads, mask)
 
-        return flash_attention(q, k, v, num_heads=num_heads)
 
+def _attention_xla(q, k, v, num_heads: int, mask=None):
     b, sq, d = q.shape
     sk = k.shape[1]
     h = num_heads
@@ -275,6 +277,39 @@ def attention(q, k, v, *, num_heads: int, mask=None, impl: str = "auto"):
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=jnp.float32)
     out = out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b, sq, d)
     return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_pallas_diff(q, k, v, num_heads: int):
+    """Pallas flash forward with an XLA-recompute backward.
+
+    pallas_call has no autodiff rule, so training through a UNet whose
+    self-attention dispatched to the flash kernel failed outright
+    (round-4 finding: the sd15-family train step crashed in
+    _pallas_call_jvp_rule — the tiny test family never tripped this
+    because its short sequences route to XLA).  Standard remat trick:
+    forward runs the fast kernel, backward differentiates the
+    mathematically-identical XLA path (recomputing its forward), so
+    gradients are exact for the XLA function and fwd/bwd disagree only
+    at reduction-order level — same tolerance class as the kernel's own
+    forward A/B (tests/test_flash_attention.py).
+    """
+    from videosd_tpu.ops.pallas.flash_attention import flash_attention
+
+    return flash_attention(q, k, v, num_heads=num_heads)
+
+
+def _attention_pallas_fwd(q, k, v, num_heads: int):
+    return _attention_pallas_diff(q, k, v, num_heads), (q, k, v)
+
+
+def _attention_pallas_bwd(num_heads: int, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _attention_xla(q_, k_, v_, num_heads), q, k, v)
+    return vjp(g)
+
+
+_attention_pallas_diff.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
 
 
 # ---------------------------------------------------------------- embeddings
