@@ -81,6 +81,13 @@ def main() -> None:
     ap.add_argument("--cn-steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument(
+        "--optimizer", default="adamw", choices=("adamw", "adafactor"),
+        help="UNet/ControlNet stages; adafactor for full-size families "
+        "(sd15 fp32 + Adam state is ~13.6 GB and ResourceExhausts a 16 GB "
+        "v5e chip — round-4 measurement; adafactor's factored second "
+        "moment fits)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -168,8 +175,13 @@ def main() -> None:
             bundle.unet_cfg.time_cond_proj_dim,
         )
 
+    def make_opt():
+        if args.optimizer == "adafactor":
+            return optax.adafactor(args.lr)
+        return optax.adamw(args.lr)
+
     encode_j = jax.jit(lambda p, x: taesd_encode(p, x, tcfg))
-    unet_opt = optax.adamw(args.lr)
+    unet_opt = make_opt()
     state = init_train_state(bundle.params["unet"], unet_opt)
     step_fn = make_train_step(bundle.unet_cfg, bundle.sched_cfg, unet_opt)
 
@@ -198,7 +210,7 @@ def main() -> None:
         from videosd_tpu.train.step import make_controlnet_train_step
 
         canny_j = jax.jit(lambda x: sobel_control_image(x, 0.11, 0.8))
-        cn_opt = optax.adamw(args.lr)
+        cn_opt = make_opt()
         cn_state = init_train_state(bundle.params["controlnet"], cn_opt)
         cn_step = make_controlnet_train_step(
             bundle.unet_cfg, bundle.sched_cfg, cn_opt
