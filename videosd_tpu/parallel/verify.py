@@ -1,4 +1,5 @@
-"""Flagship-geometry dp x tp numerics verification (VERDICT round-2 #4).
+"""Sharded-numerics verification: dp x tp (flagship geometry) and
+pipeline-parallel (2-stage UNet split) vs the single-device program.
 
 Runs the REAL sd15-family flagship program — FrameSpec(512x512, steps=4),
 the program customers actually serve (BASELINE config 1 shape) — sharded
