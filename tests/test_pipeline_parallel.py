@@ -256,7 +256,11 @@ def test_engine_serves_pipelined(rng):
         assert eng.data_axis == 2
         eng.start()
         try:
-            st = eng.open_stream({"height": 64, "width": 64, "steps": 1})
+            # controlnet_interval is a PUBLIC live option; under mesh_pipe
+            # it must coerce to parity (1), not crash the dispatch loop
+            st = eng.open_stream(
+                {"height": 64, "width": 64, "steps": 1, "controlnet_interval": 4}
+            )
             frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
             loop = asyncio.get_running_loop()
             t0 = loop.time()
@@ -275,6 +279,11 @@ def test_engine_serves_pipelined(rng):
             assert stats["devices"] == {"data": 2, "model": 2, "pipe": 2}
             assert all(
                 b["batch"] % eng.data_axis == 0 for b in stats["ready_buckets"]
+            )
+            # the turbo option was coerced to a parity spec
+            assert all(
+                sp.controlnet_interval == 1 and sp.deepcache_interval == 1
+                for sp, _rm in eng._ready_specs
             )
             # stage params really live on disjoint submeshes
             pipe = eng.pipe_engine.pipe

@@ -1011,6 +1011,9 @@ class Engine:
             dc_interval = int(defaults.get("deepcache_interval", 1) or 1)
         if refresh_last is None:
             refresh_last = bool(defaults.get("interval_refresh_last", False))
+        if self.pipe_engine is not None:
+            # pipelined serving is parity-only; warm what will be served
+            cn_interval = dc_interval = 1
         refresh_last = refresh_last and (
             max(1, cn_interval) > 1 or max(1, dc_interval) > 1
         )
@@ -1584,6 +1587,17 @@ class Engine:
                     if ref_mode
                     else max(1, int(st.options.get("deepcache_interval", 1) or 1))
                 )
+                if self.pipe_engine is not None and (cn_i > 1 or dc_i > 1):
+                    # the pipelined engine is parity-only (the interval
+                    # caches are single-program state); coerce rather than
+                    # let a public live option crash the dispatch loop
+                    if not getattr(self, "_pipe_turbo_warned", False):
+                        self._pipe_turbo_warned = True
+                        logging.getLogger("videosd_tpu.engine").warning(
+                            "controlnet/deepcache intervals ignored under "
+                            "mesh_pipe (pipelined serving is parity-only)"
+                        )
+                    cn_i = dc_i = 1
                 key = (
                     int(st.options["steps"]),
                     h,
