@@ -381,3 +381,44 @@ def test_refresh_params_swaps_weights_without_rebuild():
     want_b = np.asarray(unet_apply(params_b, cfg, sample, t, ctx, **kw))
     np.testing.assert_allclose(out_b, want_b, rtol=2e-5, atol=2e-5)
     assert np.abs(out_a - out_b).max() > 0  # weights really changed
+
+
+@pytest.mark.parametrize(
+    "variant", ["kl_vae", "i420"]
+)
+def test_pipelined_engine_alternate_io_paths(variant):
+    """The stage cut's other IO paths: the KL VAE's encoder/decoder split
+    (quant_conv lives in the encoder, post_quant_conv in the decoder —
+    models/vae.py) and packed i420 camera uploads, each equal to the
+    monolithic program."""
+    bundle = ModelBundle.random(
+        "tiny", dtype=jnp.float32, with_controlnet=True, with_kl_vae=True
+    )
+    kw_spec = {}
+    if variant == "kl_vae":
+        kw_spec["vae"] = "kl"
+    if variant == "i420":
+        kw_spec["in_format"] = "i420"
+    spec = FrameSpec(batch=2, height=64, width=64, steps=1, **kw_spec)
+    frames, embeds, strength, guidance, cn, seeds, kw = _frame_inputs(bundle, spec)
+    if variant == "i420":
+        from videosd_tpu.ops.preprocess import rgb_to_i420
+
+        frames = rgb_to_i420(frames)
+
+    prog = build_frame_program(bundle, spec)
+    want_img, want_lat = prog(
+        bundle.params, frames, embeds, strength, guidance, cn, seeds, **kw
+    )
+    eng = PipelinedFrameEngine(bundle, model_parallel=2)
+    got_img, got_lat = eng.run(
+        spec, frames, embeds, strength, guidance, cn, seeds, **kw
+    )
+    diff = np.abs(
+        np.asarray(got_img).astype(np.int32) - np.asarray(want_img).astype(np.int32)
+    )
+    assert diff.max() <= 2, f"max u8 diff {diff.max()}"
+    np.testing.assert_allclose(
+        np.asarray(got_lat, np.float32), np.asarray(want_lat, np.float32),
+        rtol=1e-4, atol=1e-4,
+    )
