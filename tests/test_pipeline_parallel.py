@@ -422,3 +422,69 @@ def test_pipelined_engine_alternate_io_paths(variant):
         np.asarray(got_lat, np.float32), np.asarray(want_lat, np.float32),
         rtol=1e-4, atol=1e-4,
     )
+
+
+@pytest.mark.slow
+def test_pipelined_engine_option_churn(rng):
+    """Live-option churn under mesh_pipe serving: traced options never
+    add programs, interval turbo options coerce to parity instead of
+    crashing the dispatch loop, and every stream keeps generating
+    (the non-pipe fuzz's invariants, test_runtime.py, on the PP path)."""
+    import asyncio
+    import random as _random
+
+    from videosd_tpu.config import ServerConfig
+    from videosd_tpu.runtime.engine import Engine
+
+    fuzz = _random.Random(0)
+
+    async def run():
+        bundle = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=True)
+        eng = Engine(
+            ServerConfig(gpus=8, mesh_model=2, mesh_pipe=2),
+            bundle=bundle,
+            max_streams=2,
+            max_batch=4,
+            deadline_ms=5,
+            frame_hw=(32, 32),
+        )
+        eng.warmup(batch_sizes=(1,), steps=(1,), height=32, width=32)
+        eng.start()
+        try:
+            sts = [
+                eng.open_stream(
+                    {"height": 32, "width": 32, "steps": 1, "prompt": f"p{i}"}
+                )
+                for i in range(2)
+            ]
+            warmed = len(eng._programs)
+
+            async def churn(st, n):
+                for _ in range(n):
+                    frame = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                    msg = fuzz.choice(
+                        [
+                            lambda: {"strength": round(fuzz.uniform(0.05, 1.0), 3)},
+                            lambda: {"seed": fuzz.randrange(0, 10_000)},
+                            lambda: {"controlnet_scale": round(fuzz.uniform(0.05, 3.0), 2)},
+                            # interval options MUST coerce under PP
+                            lambda: {"controlnet_interval": fuzz.choice([1, 2, 4])},
+                            lambda: {"deepcache_interval": fuzz.choice([1, 3])},
+                        ]
+                    )()
+                    eng.update_options(st.stream_id, msg)
+                    out = await asyncio.wait_for(
+                        eng.submit_frame(st.stream_id, frame), 120
+                    )
+                    assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+
+            await asyncio.wait_for(
+                asyncio.gather(*[churn(st, 12) for st in sts]), 300
+            )
+            # interval churn coerces to the parity program: no new buckets
+            assert len(eng._programs) == warmed, sorted(eng._programs)
+            assert eng.telemetry.frames_out > 0
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
