@@ -1,0 +1,83 @@
+"""Temporal DeepCache (cross-frame trunk reuse) program invariants.
+
+FrameSpec.deepcache_temporal's two modes (lcm_img2img.frame_program):
+produce = the parity program + a free capture of the per-step deep-trunk
+features; reuse = shallow blocks only over carried features.  The
+correctness anchor: reuse fed with caches produced from the SAME inputs
+must be BIT-EXACT with the parity program (the deep_feature split's
+pinned property, models/unet.py) — anything less means the shallow path
+diverged.  Cross-frame quality is measured, not asserted
+(tools/temporal_gate.py, PERF.md).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videosd_tpu.pipelines.lcm_img2img import (
+    FrameSpec,
+    ModelBundle,
+    build_frame_program,
+    build_prompt_encoder,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=True)
+    enc = build_prompt_encoder(bundle)
+    ids = jnp.asarray(bundle.tokenizer(["a cat"]), jnp.int32)
+    ctx, _ = enc(bundle.params, ids)
+    b = 2
+    embeds = jnp.concatenate([ctx] * b, axis=0)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (b, 64, 64, 3), dtype=np.uint8))
+    args = (
+        jnp.linspace(0.5, 0.8, b).astype(jnp.float32),
+        jnp.full((b,), 5.0, jnp.float32),
+        jnp.full((b,), 2.0, jnp.float32),
+        jnp.arange(7, 7 + b, dtype=jnp.int32),
+    )
+    return bundle, frames, embeds, args, rng
+
+
+def test_produce_mode_bit_matches_parity_and_reuse_roundtrip(setup):
+    bundle, frames, embeds, args, rng = setup
+    b = frames.shape[0]
+    parity = build_frame_program(bundle, FrameSpec(batch=b, height=64, width=64, steps=2))
+    img_p, lat_p = parity(bundle.params, frames, embeds, *args)
+
+    spec_t = FrameSpec(batch=b, height=64, width=64, steps=2, deepcache_temporal=True)
+    prog_t = build_frame_program(bundle, spec_t)
+
+    # produce: parity outputs + [B, S, h', w', c'] trunk captures
+    img_f, lat_f, caches = prog_t(bundle.params, frames, embeds, *args)
+    assert caches.shape[:2] == (b, 2)
+    np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img_p))
+    np.testing.assert_array_equal(np.asarray(lat_f), np.asarray(lat_p))
+
+    # reuse with same-input caches: bit-exact with parity
+    img_r, lat_r = prog_t(bundle.params, frames, embeds, *args, deep_caches=caches)
+    np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_p))
+    np.testing.assert_array_equal(np.asarray(lat_r), np.asarray(lat_p))
+
+    # reuse on a different frame: the approximation actually engages
+    frames2 = jnp.asarray(
+        rng.integers(0, 256, (b, 64, 64, 3), dtype=np.uint8)
+    )
+    img_r2, _ = prog_t(bundle.params, frames2, embeds, *args, deep_caches=caches)
+    assert (
+        np.abs(np.asarray(img_r2).astype(int) - np.asarray(img_p).astype(int)).max()
+        > 0
+    )
+
+
+def test_temporal_rejects_interval_combination(setup):
+    bundle, frames, embeds, args, _ = setup
+    b = frames.shape[0]
+    spec = FrameSpec(
+        batch=b, height=64, width=64, steps=2,
+        deepcache_temporal=True, deepcache_interval=2,
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_frame_program(bundle, spec)(bundle.params, frames, embeds, *args)

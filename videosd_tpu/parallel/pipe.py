@@ -382,10 +382,15 @@ class PipelinedFrameEngine:
             sobel_control_image,
         )
 
-        if spec.controlnet_interval != 1 or spec.deepcache_interval != 1:
+        if (
+            spec.controlnet_interval != 1
+            or spec.deepcache_interval != 1
+            or spec.deepcache_temporal
+        ):
             raise ValueError(
                 "PipelinedFrameEngine is parity-only: controlnet_interval/"
-                "deepcache_interval are single-program turbo levers"
+                "deepcache_interval/deepcache_temporal are single-program "
+                "turbo levers"
             )
         bundle = self.bundle
         cfg = bundle.unet_cfg

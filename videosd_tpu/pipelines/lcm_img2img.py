@@ -123,6 +123,25 @@ class FrameSpec:
     # controlnet_interval=1 the ControlNet's per-step mid conditioning
     # only lands on DeepCache eval steps.
     deepcache_interval: int = 1
+    # Temporal DeepCache (cross-FRAME trunk reuse; video-serving lever
+    # absent from the reference and from the original DeepCache paper's
+    # per-sample setting): when True the program runs in one of two
+    # modes selected by the ``deep_caches`` argument —
+    #   produce (deep_caches=None): full parity denoise, additionally
+    #     returning the per-step deep-trunk features [B, S, h', w', c']
+    #     as a third output (a free tensor alias; outputs bit-match the
+    #     parity program);
+    #   reuse (deep_caches given): every step runs ONLY the shallow
+    #     blocks over the carried trunk features — the whole deep trunk
+    #     (~50% of UNet time, PERF.md by-block profile) drops out of the
+    #     frame.  Fed with caches produced from the SAME inputs it is
+    #     bit-exact; fed with a previous frame's caches it is the
+    #     temporal approximation (quality-gated in PERF.md).
+    # The serving engine refreshes every N frames per stream (option
+    # "deepcache_temporal"; see runtime/engine.py).  Mutually exclusive
+    # with deepcache_interval>1 (the per-step cache would fight the
+    # carried one).
+    deepcache_temporal: bool = False
     # Refresh both caches on the FINAL denoise step regardless of the
     # interval phase.  Round-4 trained-weight gating found the last
     # step's freshness dominates output quality: at steps=4, dc=3
@@ -406,6 +425,7 @@ def frame_program(
     pooled_embeds=None,
     src_box=None,
     safety_hook=None,
+    deep_caches=None,
 ):
     """The pure frame function (jit via :func:`build_frame_program`).
 
@@ -514,6 +534,14 @@ def frame_program(
     cn_cache = None  # residuals at base scale, reused between eval steps
     dc_interval = max(1, int(spec.deepcache_interval))
     dc_cache = None  # DeepCache: deep-trunk feature reused between evals
+    if spec.deepcache_temporal and dc_interval != 1:
+        raise ValueError(
+            "deepcache_temporal is mutually exclusive with "
+            "deepcache_interval>1 (per-step vs carried trunk caches)"
+        )
+    temporal_produce = spec.deepcache_temporal and deep_caches is None
+    temporal_reuse = spec.deepcache_temporal and deep_caches is not None
+    new_caches: list = []
 
     def _refresh(s: int, k: int) -> bool:
         # static per step: the branch is resolved at trace time
@@ -573,7 +601,37 @@ def frame_program(
                     mid_res = mid_res * keep
 
         with jax.named_scope("unet"):
-            if dc_interval == 1:
+            if temporal_reuse:
+                # shallow blocks only, over the carried previous-frame
+                # trunk feature for THIS step (mid/deep CN residuals are
+                # discarded on shallow passes — the dc-interval caveat)
+                eps = unet_apply(
+                    params["unet"],
+                    unet_cfg,
+                    latents,
+                    t,
+                    context,
+                    timestep_cond=w_emb,
+                    added_cond_kwargs=added_cond,
+                    down_block_additional_residuals=down_res,
+                    deep_feature=deep_caches[:, s],
+                )
+            elif temporal_produce:
+                # full parity pass + free capture of the trunk feature
+                eps, deep = unet_apply(
+                    params["unet"],
+                    unet_cfg,
+                    latents,
+                    t,
+                    context,
+                    timestep_cond=w_emb,
+                    added_cond_kwargs=added_cond,
+                    down_block_additional_residuals=down_res,
+                    mid_block_additional_residual=mid_res,
+                    return_deep_feature=True,
+                )
+                new_caches.append(deep)
+            elif dc_interval == 1:
                 # reference semantics: full UNet every step
                 eps = unet_apply(
                     params["unet"],
@@ -640,6 +698,12 @@ def frame_program(
         with jax.named_scope("safety"):
             out = safety_hook(out)
     with jax.named_scope("postprocess"):
+        if temporal_produce:
+            return (
+                postprocess_image(out),
+                denoised,
+                jnp.stack(new_caches, axis=1),  # [B, S, h', w', c']
+            )
         return postprocess_image(out), denoised
 
 
@@ -674,6 +738,7 @@ def build_frame_program(bundle: ModelBundle, spec: FrameSpec):
         warm_alpha=None,
         pooled_embeds=None,
         src_box=None,
+        deep_caches=None,
     ):
         return fn(
             params,
@@ -688,6 +753,7 @@ def build_frame_program(bundle: ModelBundle, spec: FrameSpec):
             warm_alpha=warm_alpha,
             pooled_embeds=pooled_embeds,
             src_box=src_box,
+            deep_caches=deep_caches,
         )
 
     return jax.jit(wrapper)
