@@ -81,3 +81,68 @@ def test_temporal_rejects_interval_combination(setup):
     )
     with pytest.raises(ValueError, match="mutually exclusive"):
         build_frame_program(bundle, spec)(bundle.params, frames, embeds, *args)
+
+
+def test_engine_serves_temporal_cadence(rng):
+    """Serving path: option deepcache_temporal=N alternates produce/reuse
+    batches per stream (trunk rows device-resident, age-tracked), keeps
+    generating, and toggling the option off drops the carried rows."""
+    import asyncio
+
+    from videosd_tpu.runtime.engine import Engine
+
+    async def run():
+        bundle = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=True)
+        eng = Engine(
+            bundle=bundle, max_streams=2, max_batch=2, deadline_ms=5,
+            frame_hw=(64, 64),
+        )
+        eng.start()
+        try:
+            st = eng.open_stream(
+                {"height": 64, "width": 64, "steps": 2, "deepcache_temporal": 3}
+            )
+            ages = []
+            for i in range(7):
+                frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+                before = eng.telemetry.frames_out
+                # a cold bucket serves passthrough while compiling; loop
+                # until this submit produced a REAL generation
+                loop = asyncio.get_running_loop()
+                t0 = loop.time()
+                while loop.time() - t0 < 300:
+                    out = await asyncio.wait_for(
+                        eng.submit_frame(st.stream_id, frame), 300
+                    )
+                    if eng.telemetry.frames_out > before:
+                        break
+                    await asyncio.sleep(0.1)
+                assert eng.telemetry.frames_out > before
+                ages.append(st.temporal_age)
+                assert st.deep_rows is not None
+                assert st.deep_rows_key == (2, 64, 64, "")
+            # produce resets age to 1; reuse increments: 1,2,3,1,2,3,1
+            assert ages == [1, 2, 3, 1, 2, 3, 1], ages
+            assert out.shape == (64, 64, 3)
+
+            # toggling off clears the carried rows on the next frame
+            eng.update_options(st.stream_id, {"deepcache_temporal": 0})
+            before = eng.telemetry.frames_out
+            loop = asyncio.get_running_loop()
+            t0 = loop.time()
+            while loop.time() - t0 < 300:
+                await asyncio.wait_for(
+                    eng.submit_frame(
+                        st.stream_id,
+                        rng.integers(0, 256, (64, 64, 3), dtype=np.uint8),
+                    ),
+                    300,
+                )
+                if eng.telemetry.frames_out > before:
+                    break
+                await asyncio.sleep(0.1)
+            assert st.deep_rows is None
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())

@@ -66,6 +66,14 @@ _OPTION_COERCIONS = {
     # Bucket-keyed like controlnet_interval: changing it compiles a new
     # program variant, served via nearest-ready fallback meanwhile.
     "deepcache_interval": int,
+    # temporal DeepCache cadence (0 = off; N>=1 = refresh the per-step
+    # deep-trunk caches every N frames and reuse them in between —
+    # cross-FRAME trunk reuse, FrameSpec.deepcache_temporal).  The
+    # strongest single-chip turbo lever (reuse frames drop the whole
+    # deep trunk); quality decays with distance from the last refresh
+    # (tools/temporal_gate.py).  Mutually exclusive with
+    # deepcache_interval>1 (temporal wins).
+    "deepcache_temporal": int,
     # refresh interval caches on the FINAL denoise step too (quality
     # recovery for interval>1 configs — the last step's freshness
     # dominates output quality, PERF.md round-4 trained-weight gates).

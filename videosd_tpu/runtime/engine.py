@@ -48,6 +48,13 @@ class StreamState:
         self.options.update(options or {})
         self.last_output: np.ndarray | None = None
         self.last_latents = None
+        # temporal DeepCache state (option "deepcache_temporal" = N):
+        # device-resident per-step trunk features [S, h', w', c'] from the
+        # last produce frame, the bucket key they were produced under, and
+        # frames generated since (refresh when age >= N)
+        self.deep_rows = None
+        self.deep_rows_key = None
+        self.temporal_age = 0
         self.ref_frame: np.ndarray | None = None
         self.last_input: np.ndarray | None = None
         # true (h, w) of the latest camera frame inside the mailbox — the
@@ -1011,9 +1018,13 @@ class Engine:
             dc_interval = int(defaults.get("deepcache_interval", 1) or 1)
         if refresh_last is None:
             refresh_last = bool(defaults.get("interval_refresh_last", False))
+        temporal = int(defaults.get("deepcache_temporal", 0) or 0) > 0
         if self.pipe_engine is not None:
             # pipelined serving is parity-only; warm what will be served
             cn_interval = dc_interval = 1
+            temporal = False
+        if temporal:
+            dc_interval = 1  # mutually exclusive; temporal wins (batcher rule)
         refresh_last = refresh_last and (
             max(1, cn_interval) > 1 or max(1, dc_interval) > 1
         )
@@ -1027,6 +1038,7 @@ class Engine:
                     controlnet_interval=max(1, cn_interval),
                     deepcache_interval=max(1, dc_interval),
                     interval_refresh_last=refresh_last,
+                    deepcache_temporal=temporal,
                 )
                 self._warm_spec(spec, ref_mode=False)
 
@@ -1053,7 +1065,7 @@ class Engine:
             # serving packs a [B, 2] (attn, adain) fidelity pair in ref
             # mode — warm with the same signature
             cn = np.ones((spec.batch, 2), np.float32)
-        self._run_bucket_sync(
+        res = self._run_bucket_sync(
             spec, ref_mode, frames, frames, embeds, strength, guidance, cn, seed,
             None if ref_mode else warm_lat,
             None if ref_mode else warm_alpha,
@@ -1061,6 +1073,15 @@ class Engine:
             box,
             box if ref_mode else None,
         )
+        if not ref_mode and spec.deepcache_temporal and len(res) > 2:
+            # temporal buckets serve TWO jit variants (produce / reuse);
+            # warm the reuse one with the rows the produce run just made,
+            # or the first reuse batch stalls on a cold compile
+            self._run_bucket_sync(
+                spec, ref_mode, frames, frames, embeds, strength, guidance,
+                cn, seed, warm_lat, warm_alpha, pooled, box, None,
+                deep_caches=res[2],
+            )
 
     def _nearest_ready_spec(self, spec, ref_mode: bool):
         """A ready program differing from ``spec`` only in steps, output
@@ -1080,6 +1101,7 @@ class Engine:
                 s, steps=spec.steps, height=spec.height, width=spec.width,
                 controlnet_interval=spec.controlnet_interval,
                 deepcache_interval=spec.deepcache_interval,
+                deepcache_temporal=spec.deepcache_temporal,
             )
 
         # list() snapshot: executor threads add to _ready_specs concurrently
@@ -1098,6 +1120,9 @@ class Engine:
                 abs(s.height * s.width - spec.height * spec.width),
                 abs(s.controlnet_interval - spec.controlnet_interval),
                 abs(s.deepcache_interval - spec.deepcache_interval),
+                # a temporal stand-in without caches runs produce mode
+                # (parity outputs); prefer same-flag variants anyway
+                s.deepcache_temporal != spec.deepcache_temporal,
             ),
         )
 
@@ -1272,9 +1297,14 @@ class Engine:
         src_box=None,
         ref_box=None,
         params=None,
+        deep_caches=None,
     ):
         """Enqueue one batch on the device (JAX async dispatch — returns
         device arrays immediately without waiting for results).
+
+        ``deep_caches``: temporal-DeepCache trunk rows for a REUSE batch —
+        a list of per-stream device-resident [S, h', w', c'] arrays (or an
+        already-stacked [B, S, ...]).  None on produce/off batches.
 
         ``params``: the param tree to run with (None = the default serving
         params) — how a `models:` registry batch selects its checkpoint
@@ -1307,6 +1337,8 @@ class Engine:
                     for r in warm_latents
                 ]
             )
+        if isinstance(deep_caches, (list, tuple)):
+            deep_caches = jnp.stack(deep_caches)
         prog = self._get_program(spec, ref_mode=ref_mode)
         key = (spec, ref_mode)
         if params is None:
@@ -1343,16 +1375,22 @@ class Engine:
                 kwargs["pooled_embeds"] = pooled_embeds
             if src_box is not None:
                 kwargs["src_box"] = src_box
+            if deep_caches is not None and spec.deepcache_temporal:
+                kwargs["deep_caches"] = deep_caches
             args = (
                 params, frames, embeds, strength, guidance, scale, seed,
             )
             self._capture_shapes(key, args, kwargs)
-            out, latents = prog(
+            res = prog(
                 params, frames, embeds, strength, guidance, scale, seed,
                 **kwargs,
             )
+            out, latents = res[0], res[1]
+            # temporal produce mode additionally returns the trunk caches
+            caches = res[2] if len(res) > 2 else None
             out = self._maybe_pack_i420(out)
-        return key, out, latents
+            return key, out, latents, caches
+        return key, out, latents, None
 
     def _maybe_pack_i420(self, out):
         """RGB u8 [B,H,W,3] -> packed I420 [B,3H/2,W] on device when the
@@ -1401,10 +1439,14 @@ class Engine:
         never issues the slice ops itself."""
         import jax
 
-        key, out, latents = raw
+        key, out, latents, caches = raw
         jax.block_until_ready(out)
         self._ready_specs.add(key)
         rows = [latents[i] for i in range(latents.shape[0])]
+        if caches is not None:
+            # temporal trunk rows stay device-resident like the latents
+            cache_rows = [caches[i] for i in range(caches.shape[0])]
+            return np.asarray(out), rows, cache_rows
         return np.asarray(out), rows
 
     def _run_bucket_sync(self, *args, **kwargs):
@@ -1587,7 +1629,14 @@ class Engine:
                     if ref_mode
                     else max(1, int(st.options.get("deepcache_interval", 1) or 1))
                 )
-                if self.pipe_engine is not None and (cn_i > 1 or dc_i > 1):
+                tmp_n = (
+                    0
+                    if ref_mode
+                    else max(0, int(st.options.get("deepcache_temporal", 0) or 0))
+                )
+                if self.pipe_engine is not None and (
+                    cn_i > 1 or dc_i > 1 or tmp_n > 0
+                ):
                     # the pipelined engine is parity-only (the interval
                     # caches are single-program state); coerce rather than
                     # let a public live option crash the dispatch loop
@@ -1598,6 +1647,24 @@ class Engine:
                             "mesh_pipe (pipelined serving is parity-only)"
                         )
                     cn_i = dc_i = 1
+                    tmp_n = 0
+                if tmp_n > 0:
+                    # temporal trunk reuse supersedes the per-step interval
+                    # (mutually exclusive inside the program)
+                    dc_i = 1
+                # produce (refresh trunks) vs reuse is a PROGRAM-INPUT
+                # difference, so it is part of the batch grouping: 0 = off,
+                # 1 = produce, 2 = reuse.  Reuse requires rows produced
+                # under THIS bucket's geometry (steps/h/w/model).
+                tmp_key = (int(st.options["steps"]), h, w, self._stream_model(st))
+                tmp_mode = 0
+                if tmp_n > 0:
+                    reusable = (
+                        st.deep_rows is not None
+                        and st.deep_rows_key == tmp_key
+                        and st.temporal_age < tmp_n
+                    )
+                    tmp_mode = 2 if reusable else 1
                 key = (
                     int(st.options["steps"]),
                     h,
@@ -1610,6 +1677,7 @@ class Engine:
                     # live — same effective-value rule as dc_i above
                     bool(st.options.get("interval_refresh_last", False))
                     and (cn_i > 1 or dc_i > 1),
+                    tmp_mode,
                     self._stream_model(st),
                 )
                 groups.setdefault(key, []).append((st, buf, ts))
@@ -1638,7 +1706,7 @@ class Engine:
 
         (
             steps, h, w, ref_mode, use_cn, cn_interval, dc_interval,
-            refresh_last, model,
+            refresh_last, tmp_mode, model,
         ) = key
         b = self._bucket_batch(len(items))
         spec = FrameSpec(
@@ -1655,6 +1723,7 @@ class Engine:
             # path; DeepCache applies to the plain img2img program only
             deepcache_interval=1 if ref_mode else dc_interval,
             interval_refresh_last=refresh_last,
+            deepcache_temporal=tmp_mode > 0,
         )
         # compile-stall avoidance: a fresh bucket (steps slider moved, a
         # resolution renegotiation, or more concurrent streams than any
@@ -1812,6 +1881,13 @@ class Engine:
             warm_lat: Any = warm_rows
         else:
             warm_lat = np.zeros((b, *lat_shape), np.float32)
+        deep_rows_in = None
+        if spec.deepcache_temporal and tmp_mode == 2:
+            # reuse batch: every member was grouped here BECAUSE it holds
+            # valid rows for this bucket key; pad rows feed discarded
+            # outputs
+            deep_rows_in = [st.deep_rows for st, _buf, _ts in items]
+            deep_rows_in.extend([deep_rows_in[-1]] * (b - len(items)))
         pooled = None
         if self.bundle.clip2_cfg is not None:
             # SDXL text_time micro-conditioning consumes the pooled embeds
@@ -1840,6 +1916,8 @@ class Engine:
             import functools
 
             run_kw = {}
+            if deep_rows_in is not None:
+                run_kw["deep_caches"] = deep_rows_in
             if model:
                 if model not in self._extra_bundles:
                     # cold registry entry: loading converts a checkpoint on
@@ -1852,7 +1930,7 @@ class Engine:
             if "_run_bucket_sync" in self.__dict__:
                 # a test monkeypatched the seam: run its whole function on
                 # the dispatch thread (serialized; fine for tests)
-                out, latents = await self._get_dispatcher().run(
+                res = await self._get_dispatcher().run(
                     loop,
                     functools.partial(self._run_bucket_sync, *run_args, **run_kw),
                     lambda raw: raw,
@@ -1860,11 +1938,15 @@ class Engine:
             else:
                 # hot path: async dispatch now, block on the worker later —
                 # pipelining without multi-threaded runtime access
-                out, latents = await self._get_dispatcher().run(
+                res = await self._get_dispatcher().run(
                     loop,
                     functools.partial(self._dispatch_bucket, *run_args, **run_kw),
                     self._finalize_bucket,
                 )
+            # (out, lat_rows[, temporal cache_rows]) — 2-tuple tolerated so
+            # test fakes of _run_bucket_sync keep working
+            out, latents = res[0], res[1]
+            cache_rows = res[2] if len(res) > 2 else None
         except Exception:
             # a failed batch must not kill the loop (the reference's
             # try/finally around infer, server.py:107-111): resolve
@@ -1891,6 +1973,18 @@ class Engine:
         for i, (st, _buf, _ts) in enumerate(items):
             st.last_output = out[i]
             st.last_latents = latents[i]
+            n_tmp = int(st.options.get("deepcache_temporal", 0) or 0)
+            if n_tmp <= 0:
+                st.deep_rows = None  # toggled off: never reuse stale rows
+            elif cache_rows is not None:
+                # produce frame: fresh trunk rows for this bucket key
+                st.deep_rows = cache_rows[i]
+                st.deep_rows_key = (
+                    spec.steps, spec.height, spec.width, self._stream_model(st),
+                )
+                st.temporal_age = 1
+            elif spec.deepcache_temporal:
+                st.temporal_age += 1
             # reference behavior: when ref is on, the last generated
             # frame becomes the new reference (server.py:115-116)
             if st.options.get("ref"):
