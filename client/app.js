@@ -26,6 +26,7 @@ const defaults = {
   controlnet_scale: 2,
   controlnet_interval: 1,
   deepcache_interval: 1,
+  deepcache_temporal: 0,
   interval_refresh_last: false,
   model: "",
   width: 512,
@@ -75,7 +76,7 @@ function sendOption(name, value) {
   }
 }
 
-for (const id of ["steps", "strength", "guidance_scale", "controlnet_scale", "controlnet_interval", "deepcache_interval", "style_fidelity"]) {
+for (const id of ["steps", "strength", "guidance_scale", "controlnet_scale", "controlnet_interval", "deepcache_interval", "deepcache_temporal", "style_fidelity"]) {
   $(id).addEventListener("input", (e) => {
     const v = parseFloat(e.target.value);
     $(id + "-out").value = v;
