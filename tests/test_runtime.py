@@ -1006,7 +1006,12 @@ def test_engine_option_churn_fuzz(rng):
                     if bucket_keyed and fuzz.random() < 0.3:
                         msg = fuzz.choice(
                             [{"steps": 2}, {"steps": 1}, {"controlnet": False},
-                             {"controlnet": True}]
+                             {"controlnet": True},
+                             # temporal DeepCache churn: produce/reuse/off
+                             # transitions regroup batches every tick
+                             {"deepcache_temporal": 0},
+                             {"deepcache_temporal": 2},
+                             {"deepcache_temporal": 3}]
                         )
                     eng.update_options(st.stream_id, msg)
                     out = await asyncio.wait_for(
