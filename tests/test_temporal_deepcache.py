@@ -146,3 +146,60 @@ def test_engine_serves_temporal_cadence(rng):
             await eng.stop()
 
     asyncio.run(run())
+
+
+def test_engine_temporal_two_streams_desync(rng):
+    """Two streams with the same option but desynced ages group into
+    SEPARATE produce/reuse batches in the same tick (the produce/reuse
+    split is part of the bucket key) and both keep generating with
+    correct per-stream state."""
+    import asyncio
+
+    from videosd_tpu.runtime.engine import Engine
+
+    async def run():
+        bundle = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=True)
+        eng = Engine(
+            bundle=bundle, max_streams=2, max_batch=2, deadline_ms=5,
+            frame_hw=(64, 64),
+        )
+        eng.start()
+        try:
+            opts = {"height": 64, "width": 64, "steps": 2, "deepcache_temporal": 2}
+            st_a = eng.open_stream(dict(opts))
+
+            async def one_real(st):
+                loop = asyncio.get_running_loop()
+                t0 = loop.time()
+                while loop.time() - t0 < 300:
+                    before = eng.telemetry.frames_out
+                    out = await asyncio.wait_for(
+                        eng.submit_frame(
+                            st.stream_id,
+                            rng.integers(0, 256, (64, 64, 3), dtype=np.uint8),
+                        ),
+                        300,
+                    )
+                    if eng.telemetry.frames_out > before:
+                        return out
+                    await asyncio.sleep(0.1)
+                raise TimeoutError(eng.stats())
+
+            # desync: stream A generates one frame alone (age 1) before
+            # stream B exists (age None -> produce due)
+            await one_real(st_a)
+            assert st_a.temporal_age == 1
+            st_b = eng.open_stream(dict(opts))
+
+            # same tick: A is reuse-eligible, B must produce — different
+            # group keys, so both resolve without corrupting each other
+            out_a, out_b = await asyncio.gather(one_real(st_a), one_real(st_b))
+            assert out_a.shape == out_b.shape == (64, 64, 3)
+            assert st_a.deep_rows is not None and st_b.deep_rows is not None
+            # A reused (age advanced), B produced (age reset to 1)
+            assert st_a.temporal_age == 2, st_a.temporal_age
+            assert st_b.temporal_age == 1, st_b.temporal_age
+        finally:
+            await eng.stop()
+
+    asyncio.run(run())
