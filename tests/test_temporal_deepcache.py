@@ -203,3 +203,18 @@ def test_engine_temporal_two_streams_desync(rng):
             await eng.stop()
 
     asyncio.run(run())
+
+
+def test_warmup_temporal_compiles_both_variants(rng):
+    """engine.warmup(temporal=True) warms the temporal bucket end-to-end
+    (produce + reuse jit variants — _warm_spec chains a reuse run off the
+    produce run's caches) so a first reuse batch never cold-stalls."""
+    from videosd_tpu.runtime.engine import Engine
+
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=True)
+    eng = Engine(
+        bundle=bundle, max_streams=2, max_batch=2, deadline_ms=5,
+        frame_hw=(64, 64),
+    )
+    eng.warmup(batch_sizes=(1,), steps=(2,), height=64, width=64, temporal=True)
+    assert any(sp.deepcache_temporal for sp, _rm in eng._ready_specs)

@@ -1001,7 +1001,7 @@ class Engine:
     def warmup(
         self, batch_sizes=(1,), steps=(4,), height=512, width=512,
         cn_interval: int | None = None, dc_interval: int | None = None,
-        refresh_last: bool | None = None,
+        refresh_last: bool | None = None, temporal: bool | None = None,
     ):
         """Ahead-of-time compile the hot buckets (SURVEY.md §7 "hard parts":
         compile stalls kill p50).  batch_sizes are per-data-shard: the
@@ -1018,7 +1018,8 @@ class Engine:
             dc_interval = int(defaults.get("deepcache_interval", 1) or 1)
         if refresh_last is None:
             refresh_last = bool(defaults.get("interval_refresh_last", False))
-        temporal = int(defaults.get("deepcache_temporal", 0) or 0) > 0
+        if temporal is None:
+            temporal = int(defaults.get("deepcache_temporal", 0) or 0) > 0
         if self.pipe_engine is not None:
             # pipelined serving is parity-only; warm what will be served
             cn_interval = dc_interval = 1

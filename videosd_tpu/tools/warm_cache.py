@@ -55,6 +55,13 @@ def main(argv=None) -> None:
         help="warm the interval_refresh_last variant (final-step cache"
         " refresh; no effect when both intervals are 1)",
     )
+    p.add_argument(
+        "--temporal",
+        action="store_true",
+        help="warm the temporal-DeepCache variants of every bucket (BOTH"
+        " jit programs: produce and reuse — the production config pairs"
+        " this with --cn-interval 2 --refresh-last)",
+    )
     args = p.parse_args(argv)
 
     from videosd_tpu.config import load_config
@@ -71,6 +78,7 @@ def main(argv=None) -> None:
             engine.warmup(
                 batch_sizes=(b,), steps=(s,), cn_interval=args.cn_interval,
                 dc_interval=args.dc_interval, refresh_last=args.refresh_last,
+                temporal=args.temporal or None,
             )
             timings[f"b{b}_s{s}"] = round(time.perf_counter() - t0, 2)
     print(
