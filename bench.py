@@ -229,6 +229,38 @@ def main() -> None:
 
     fps_temporal = temporal_fps(2, 2, True)
 
+    # ---- MFU (VERDICT r4): one auditable utilization number ----------
+    # FLOPs come from walking the traced program's jaxpr (ops/flops.py):
+    # every dot_general/conv counted — logical (textbook 2MKN) and padded
+    # (every matmul dim rounded to the MXU tile: lane 128 / sublane 8 —
+    # the account under which d_head=40 attention pays 3.2x).  Trace with
+    # the XLA attention path so QK^T/AV appear as dot_generals; build a
+    # FRESH jit object so the env flag can't be shadowed by a cached
+    # trace.  Seconds/frame = 1/steady-state pipelined FPS — the
+    # device-bound proxy on this rig (dispatch gaps hidden; PERF.md
+    # measured device time within ~2% of it).  Wall-clock-based by
+    # construction; a pure device-time MFU would read slightly higher.
+    import os
+
+    from videosd_tpu.ops.flops import device_peak_flops, mfu, program_flops
+
+    os.environ["VIDEOSD_ATTN_IMPL"] = "xla"
+    try:
+        flops = program_flops(
+            build_frame_program(bundle, spec),
+            bundle.params, frame, embeds, strength, guidance, cn, seed,
+        )
+        flops4 = program_flops(
+            build_frame_program(bundle, spec4),
+            bundle.params, frame4, embeds4, *args4,
+        )
+    finally:
+        del os.environ["VIDEOSD_ATTN_IMPL"]
+    peak = device_peak_flops()
+    mfu_logical = mfu(flops["logical"], 1.0 / fps, peak=peak)
+    mfu_padded = mfu(flops["padded"], 1.0 / fps, peak=peak)
+    mfu4_logical = mfu(flops4["logical"], 4.0 / fps4, peak=peak)
+
     print(
         json.dumps(
             {
@@ -251,6 +283,15 @@ def main() -> None:
                 "production_turbo_vs_baseline": round(
                     max(fps_prod, fps_temporal) / BASELINE_FPS, 4
                 ),
+                # MFU: jaxpr-walk FLOPs / (steady-state s/frame x chip bf16
+                # peak).  logical = model math; padded = MXU-tile math (the
+                # hardware-utilization view; d_head=40 + channel padding).
+                "flops_per_frame_tflop_logical": round(flops["logical"] / 1e12, 3),
+                "flops_per_frame_tflop_padded": round(flops["padded"] / 1e12, 3),
+                "chip_peak_bf16_tflops": None if peak is None else peak / 1e12,
+                "mfu": None if mfu_logical is None else round(mfu_logical, 4),
+                "mfu_padded": None if mfu_padded is None else round(mfu_padded, 4),
+                "mfu_batch4": None if mfu4_logical is None else round(mfu4_logical, 4),
             }
         )
     )

@@ -296,6 +296,57 @@ def test_engine_serves_pipelined(rng):
     asyncio.run(serve())
 
 
+def test_engine_serves_pipelined_controlnet_off(rng):
+    """controlnet:false is a PUBLIC live option; under mesh_pipe the
+    stage-0 program must withhold the (always-present) ControlNet params
+    when the spec disables it — a crash here is swallowed by the dispatch
+    loop and the stream silently serves stale frames forever."""
+    import asyncio
+
+    from videosd_tpu.config import ServerConfig
+    from videosd_tpu.runtime.engine import Engine
+
+    async def serve():
+        bundle = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=True)
+        eng = Engine(
+            ServerConfig(gpus=8, mesh_model=2, mesh_pipe=2),
+            bundle=bundle,
+            max_streams=1,
+            max_batch=8,
+            deadline_ms=5,
+            frame_hw=(64, 64),
+        )
+        assert eng.pipe_engine is not None
+        eng.start()
+        try:
+            st = eng.open_stream(
+                {"height": 64, "width": 64, "steps": 1, "controlnet": False}
+            )
+            frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            loop = asyncio.get_running_loop()
+            t0 = loop.time()
+            out = None
+            while loop.time() - t0 < 300:
+                before = eng.telemetry.frames_out
+                out = await asyncio.wait_for(
+                    eng.submit_frame(st.stream_id, frame), 300
+                )
+                if eng.telemetry.frames_out > before:
+                    break
+                await asyncio.sleep(0.2)
+            # a REAL frame came back (a crashed batch only ever resolves
+            # waiters with the stale last_output)
+            assert eng.telemetry.frames_out >= 1, eng.stats()
+            assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+            assert all(
+                not sp.use_controlnet for sp, _rm in eng._ready_specs
+            )
+        finally:
+            await eng.stop()
+
+    asyncio.run(serve())
+
+
 def test_config_validates_mesh_pipe():
     from videosd_tpu.config import ServerConfig
 
@@ -305,6 +356,11 @@ def test_config_validates_mesh_pipe():
     assert cfg.mesh_data == 2
     with pytest.raises(ValueError, match="mesh_pipe must be 1 or 2"):
         ServerConfig.from_dict({"gpus": 8, "mesh_pipe": 4})
+    # 0/negative must fail loudly too, not be silently coerced to 1
+    with pytest.raises(ValueError, match="mesh_pipe must be 1 or 2"):
+        ServerConfig.from_dict({"gpus": 8, "mesh_pipe": 0})
+    with pytest.raises(ValueError, match="mesh_pipe must be 1 or 2"):
+        ServerConfig.from_dict({"gpus": 8, "mesh_pipe": -2})
     with pytest.raises(ValueError, match="must equal gpus"):
         ServerConfig.from_dict(
             {"gpus": 8, "mesh_pipe": 2, "mesh_model": 2, "mesh_data": 4}

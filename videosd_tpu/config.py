@@ -361,10 +361,11 @@ class ServerConfig:
                     )
                 norm[name] = entry
             cfg.models = norm
-        pipe = max(1, cfg.mesh_pipe)
+        pipe = cfg.mesh_pipe
         if pipe not in (1, 2):
             # the PP implementation cuts the UNet at its waist — exactly
-            # two stages (parallel/pipe.py)
+            # two stages (parallel/pipe.py); validate the raw value so 0 or
+            # negatives fail loudly rather than being coerced to 1
             raise ValueError(f"mesh_pipe must be 1 or 2, got {cfg.mesh_pipe}")
         if pipe > 1 and cfg.models:
             raise ValueError(

@@ -271,15 +271,20 @@ class PipelinedUNet:
         return jax.tree.map(self._put1, tree)
 
     def encode(self, sample, t, context, *, timestep_cond=None,
-               added_cond_kwargs=None, ctrl=None, cn_scale=1.0):
+               added_cond_kwargs=None, ctrl=None, cn_scale=1.0,
+               use_controlnet=True):
         put = self._put0
         added = (
             {k: put(v) for k, v in added_cond_kwargs.items()}
             if added_cond_kwargs
             else None
         )
+        # A spec with controlnet disabled must withhold the CN params from
+        # the trace: stage0 branches on `cn is not None`, and ctrl is None
+        # for such specs (distinct jit variant, cached like any other).
+        cn = self.cn if (use_controlnet and ctrl is not None) else None
         return self._stage0(
-            self.p0, self.cn, put(sample), put(t), put(context),
+            self.p0, cn, put(sample), put(t), put(context),
             put(timestep_cond), added, put(ctrl), put(cn_scale),
         )
 
@@ -290,10 +295,12 @@ class PipelinedUNet:
         return self._stage1(self.p1, x, down_res, temb, context, mid_res)
 
     def __call__(self, sample, t, context, *, timestep_cond=None,
-                 added_cond_kwargs=None, ctrl=None, cn_scale=1.0):
+                 added_cond_kwargs=None, ctrl=None, cn_scale=1.0,
+                 use_controlnet=True):
         x, down_res, temb, mid_res = self.encode(
             sample, t, context, timestep_cond=timestep_cond,
             added_cond_kwargs=added_cond_kwargs, ctrl=ctrl, cn_scale=cn_scale,
+            use_controlnet=use_controlnet,
         )
         return self.decode(x, down_res, temb, context, mid_res)
 
@@ -558,6 +565,7 @@ class PipelinedFrameEngine:
             st["latents"], t, st["context0"],
             timestep_cond=st["w_emb"], added_cond_kwargs=st["added"],
             ctrl=st["ctrl"], cn_scale=cn_scale,
+            use_controlnet=spec.use_controlnet,
         )
         x, down_res, temb, mid_res = self.pipe.to_stage1(
             (x, down_res, temb, mid_res)

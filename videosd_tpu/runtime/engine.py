@@ -172,6 +172,14 @@ class Engine:
         # eager-GPU reference never stalls on sliders (server.py:171-187)
         # and neither should the XLA build.
         self._ready_specs: set = set()
+        # temporal DeepCache specs compile TWO jit variants of one program
+        # (produce / reuse — the deep_caches kwarg changes the trace).
+        # _ready_specs covers produce; this set records (spec, ref_mode)
+        # keys whose REUSE variant has also completed a run.  A reuse batch
+        # whose variant is still cold is downgraded to produce (parity
+        # output, refreshes rows) instead of cold-compiling on the single
+        # dispatch worker and stalling every stream.
+        self._ready_reuse: set = set()
         self._compiling: set = set()
         # bound CONCURRENT background compiles (config compile_concurrency):
         # N parallel XLA compiles starve small serving hosts
@@ -1390,8 +1398,8 @@ class Engine:
             # temporal produce mode additionally returns the trunk caches
             caches = res[2] if len(res) > 2 else None
             out = self._maybe_pack_i420(out)
-            return key, out, latents, caches
-        return key, out, latents, None
+            return key, "deep_caches" in kwargs, out, latents, caches
+        return key, False, out, latents, None
 
     def _maybe_pack_i420(self, out):
         """RGB u8 [B,H,W,3] -> packed I420 [B,3H/2,W] on device when the
@@ -1440,9 +1448,11 @@ class Engine:
         never issues the slice ops itself."""
         import jax
 
-        key, out, latents, caches = raw
+        key, is_reuse, out, latents, caches = raw
         jax.block_until_ready(out)
         self._ready_specs.add(key)
+        if is_reuse:
+            self._ready_reuse.add(key)
         rows = [latents[i] for i in range(latents.shape[0])]
         if caches is not None:
             # temporal trunk rows stay device-resident like the latents
@@ -1884,11 +1894,20 @@ class Engine:
             warm_lat = np.zeros((b, *lat_shape), np.float32)
         deep_rows_in = None
         if spec.deepcache_temporal and tmp_mode == 2:
-            # reuse batch: every member was grouped here BECAUSE it holds
-            # valid rows for this bucket key; pad rows feed discarded
-            # outputs
-            deep_rows_in = [st.deep_rows for st, _buf, _ts in items]
-            deep_rows_in.extend([deep_rows_in[-1]] * (b - len(items)))
+            if (spec, ref_mode) not in self._ready_reuse:
+                # the reuse trace is still cold (temporal enabled live;
+                # produce warmed first) — dispatching it now would
+                # cold-compile ON the single dispatch worker and stall
+                # every stream.  Run this batch as produce instead (parity
+                # output, refreshes the rows) and keep warming the reuse
+                # variant in the background (_warm_spec covers both).
+                self._compile_spec_background(loop, spec, ref_mode)
+            else:
+                # reuse batch: every member was grouped here BECAUSE it
+                # holds valid rows for this bucket key; pad rows feed
+                # discarded outputs
+                deep_rows_in = [st.deep_rows for st, _buf, _ts in items]
+                deep_rows_in.extend([deep_rows_in[-1]] * (b - len(items)))
         pooled = None
         if self.bundle.clip2_cfg is not None:
             # SDXL text_time micro-conditioning consumes the pooled embeds
