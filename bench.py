@@ -229,6 +229,38 @@ def main() -> None:
 
     fps_temporal = temporal_fps(2, 2, True)
 
+    # reference-attention mode (B7, the reference's second headline
+    # pipeline): 2x UNet per step — measure, don't assert (VERDICT r4).
+    # Same method as the headline; drift/quality gating lives in
+    # tools/ref_gate.py + PERF.md "Reference-attention mode".
+    from videosd_tpu.pipelines.reference_attn import build_reference_program
+
+    spec_r = FrameSpec(
+        batch=1, height=512, width=512, steps=4, use_controlnet=False
+    )
+    program_r = build_reference_program(bundle, spec_r)
+    sf_pair = jnp.ones((1, 2), jnp.float32)
+    _warm(
+        program_r, bundle.params, frame, frame, embeds, strength, guidance,
+        sf_pair, seed,
+    )
+
+    def ref_window(n: int = 20) -> float:
+        t_start = time.perf_counter()
+        outs = []
+        for i in range(n):
+            out, _ = program_r(
+                bundle.params, frame, frame, embeds, strength, guidance,
+                sf_pair, seed + i,
+            )
+            outs.append(out)
+            if len(outs) > 2:
+                jax.block_until_ready(outs.pop(0))
+        jax.block_until_ready(outs)
+        return n / (time.perf_counter() - t_start)
+
+    fps_ref = max(ref_window() for _ in range(3))
+
     # ---- MFU (VERDICT r4): one auditable utilization number ----------
     # FLOPs come from walking the traced program's jaxpr (ops/flops.py):
     # every dot_general/conv counted — logical (textbook 2MKN) and padded
@@ -280,6 +312,7 @@ def main() -> None:
                 "dc_interval2_turbo_fps": round(fps_dc, 3),
                 "production_turbo_cn2_dc3_last_fps": round(fps_prod, 3),
                 "production_temporal2_cn2_last_fps": round(fps_temporal, 3),
+                "ref_mode_fps": round(fps_ref, 3),
                 "production_turbo_vs_baseline": round(
                     max(fps_prod, fps_temporal) / BASELINE_FPS, 4
                 ),

@@ -67,7 +67,10 @@ def main() -> None:
 
     enc = build_prompt_encoder(bundle)
     ids = jnp.asarray(bundle.tokenizer(["portrait, pixar, cg"]), jnp.int32)
-    embeds, _ = enc(bundle.params, ids)
+    embeds, pooled = enc(bundle.params, ids)
+    # SDXL families consume the pooled embeds (text_time conditioning);
+    # sd15-class programs take no pooled kwarg
+    kw = {"pooled_embeds": pooled} if bundle.clip2_cfg is not None else {}
     hw = args.size
     run_args = (
         jnp.array([args.strength], jnp.float32),
@@ -82,7 +85,8 @@ def main() -> None:
     spec_p = FrameSpec(batch=1, height=hw, width=hw, steps=args.steps)
     parity = build_frame_program(bundle, spec_p)
     parity_out = [
-        np.asarray(parity(bundle.params, f, embeds, *run_args)[0]) for f in frames
+        np.asarray(parity(bundle.params, f, embeds, *run_args, **kw)[0])
+        for f in frames
     ]
 
     spec_t = FrameSpec(
@@ -108,10 +112,13 @@ def main() -> None:
         outs, caches = [], None
         for i, f in enumerate(frames):
             if caches is None or i % n == 0:
-                img, _lat, caches = prog_t(bundle.params, f, embeds, *run_args)
+                img, _lat, caches = prog_t(
+                    bundle.params, f, embeds, *run_args, **kw
+                )
             else:
                 img, _lat = prog_t(
-                    bundle.params, f, embeds, *run_args, deep_caches=caches
+                    bundle.params, f, embeds, *run_args, deep_caches=caches,
+                    **kw,
                 )
             outs.append(np.asarray(img))
         ps = [psnr(o[0], p[0]) for o, p in zip(outs, parity_out)]

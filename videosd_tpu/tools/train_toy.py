@@ -82,6 +82,20 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument(
+        "--cn-lr", type=float, default=None,
+        help="Stage-C learning rate (default: --lr).  The round-4 sd15-256 "
+        "run was flat at the shared lr; the CN's zero-init output convs "
+        "gate its gradient scale, so it tolerates (and often needs) a "
+        "higher rate than the UNet stage",
+    )
+    ap.add_argument(
+        "--cn-strength-match", type=float, default=1.0,
+        help="Restrict Stage-C timestep sampling to t < frac*T — serving "
+        "only evaluates the CN on the img2img ladder (t < strength*T; "
+        "default client strength 0.6), so uniform-T training wastes mass "
+        "above it.  1.0 = full schedule (round-4 behavior)",
+    )
+    ap.add_argument(
         "--optimizer", default="adamw", choices=("adamw", "adafactor"),
         help="UNet/ControlNet stages; adafactor for full-size families "
         "(sd15 fp32 + Adam state is ~13.6 GB and ResourceExhausts a 16 GB "
@@ -210,12 +224,53 @@ def main() -> None:
         from videosd_tpu.train.step import make_controlnet_train_step
 
         canny_j = jax.jit(lambda x: sobel_control_image(x, 0.11, 0.8))
-        cn_opt = make_opt()
+        cn_lr = args.cn_lr if args.cn_lr is not None else args.lr
+        cn_opt = (
+            optax.adafactor(cn_lr)
+            if args.optimizer == "adafactor"
+            else optax.adamw(cn_lr)
+        )
+        t_hi = max(
+            1,
+            int(
+                bundle.sched_cfg.num_train_timesteps
+                * min(1.0, max(0.0, args.cn_strength_match))
+            ),
+        )
         cn_state = init_train_state(bundle.params["controlnet"], cn_opt)
         cn_step = make_controlnet_train_step(
-            bundle.unet_cfg, bundle.sched_cfg, cn_opt
+            bundle.unet_cfg, bundle.sched_cfg, cn_opt, t_max=t_hi
         )
         unet_frozen = bundle.params["unet"]
+
+        # paired holdout (fixed frames, fixed serving-range timesteps,
+        # fixed noise key): base vs +CN eps-MSE — the convergence check
+        # training-loss wiggle cannot provide (round-4 flat-curve lesson)
+        from videosd_tpu.train.step import make_controlnet_eval
+
+        cn_eval = make_controlnet_eval(bundle.unet_cfg, bundle.sched_cfg)
+        ev_imgs = jnp.asarray(make_batch(np.random.default_rng(7777), 4, h, w))
+        ev_batch = {
+            "latents": encode_j(tp, ev_imgs),
+            "context": jnp.tile(embeds.astype(jnp.float32), (4, 1, 1)),
+            "control": canny_j((ev_imgs + 1.0) * 0.5),
+        }
+        if w_cond is not None:
+            ev_batch["w_cond"] = guidance_embedding(
+                jnp.full((4,), 5.0, jnp.float32),
+                bundle.unet_cfg.time_cond_proj_dim,
+            )
+        ev_t = jnp.asarray(
+            np.linspace(t_hi * 0.15, t_hi - 1, 4).astype(np.int32)
+        )
+        ev_key = jax.random.PRNGKey(31337)
+
+        def holdout():
+            base, cn = cn_eval(
+                cn_state["params"], unet_frozen, ev_batch, ev_t, ev_key
+            )
+            return float(base), float(cn)
+
         t0 = time.perf_counter()
         for step in range(args.cn_steps):
             imgs = jnp.asarray(make_batch(rng, args.batch, h, w))
@@ -231,11 +286,20 @@ def main() -> None:
             if step == 0:
                 report["cn_first_loss"] = float(metrics["loss"])
             if step % 200 == 0 or step == args.cn_steps - 1:
+                base, cn = holdout()
                 print(
-                    f"# controlnet step {step}: loss {float(metrics['loss']):.5f}",
+                    f"# controlnet step {step}: loss {float(metrics['loss']):.5f}"
+                    f"  holdout base {base:.5f} vs +cn {cn:.5f}"
+                    f"  (gain {100.0 * (1.0 - cn / base):.1f}%)",
                     flush=True,
                 )
         report["cn_final_loss"] = float(metrics["loss"])
+        base, cn = holdout()
+        report["cn_holdout_base_loss"] = round(base, 6)
+        report["cn_holdout_cn_loss"] = round(cn, 6)
+        report["cn_holdout_gain_pct"] = round(100.0 * (1.0 - cn / base), 2)
+        report["cn_t_max"] = t_hi
+        report["cn_lr"] = cn_lr
         report["cn_seconds"] = round(time.perf_counter() - t0, 1)
 
         params = dict(bundle.params)
