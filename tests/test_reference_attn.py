@@ -166,3 +166,32 @@ def test_reference_program_sdxl_family(rng):
     out, lat = prog(xb.params, frame, ref, ctx, *_opts(), pooled_embeds=pooled)
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_warmup_ref_compiles_ref_bucket():
+    """engine.warmup(ref=True) warms the reference-attention program for
+    each bucket (tools/warm_cache --ref) so a first ref-mode stream never
+    cold-stalls; the warmed spec mirrors the batcher's ref coercions
+    (use_controlnet=False, intervals 1)."""
+    import jax.numpy as jnp
+
+    from videosd_tpu.pipelines.lcm_img2img import ModelBundle
+    from videosd_tpu.runtime.engine import Engine
+
+    bundle = ModelBundle.random("tiny", dtype=jnp.float32, with_controlnet=True)
+    eng = Engine(
+        bundle=bundle, max_streams=1, max_batch=1, deadline_ms=5,
+        frame_hw=(64, 64),
+    )
+    eng.warmup(batch_sizes=(1,), steps=(2,), height=64, width=64, ref=True)
+    ref_specs = [sp for sp, rm in eng._ready_specs if rm]
+    assert ref_specs, eng._ready_specs
+    assert all(
+        not sp.use_controlnet
+        and sp.controlnet_interval == 1
+        and sp.deepcache_interval == 1
+        and not sp.deepcache_temporal
+        for sp in ref_specs
+    )
+    # the plain bucket was warmed too
+    assert any(not rm for _sp, rm in eng._ready_specs)

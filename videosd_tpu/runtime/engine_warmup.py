@@ -24,13 +24,17 @@ class WarmupMixin:
         self, batch_sizes=(1,), steps=(4,), height=512, width=512,
         cn_interval: int | None = None, dc_interval: int | None = None,
         refresh_last: bool | None = None, temporal: bool | None = None,
+        ref: bool = False,
     ):
         """Ahead-of-time compile the hot buckets (SURVEY.md §7 "hard parts":
         compile stalls kill p50).  batch_sizes are per-data-shard: the
         compiled batch is b * data_axis so sharded rows stay even.
         ``cn_interval``/``dc_interval`` default to the config's
         option_defaults values so the warmed programs match what new
-        streams will actually request."""
+        streams will actually request.  ``ref=True`` ADDITIONALLY warms
+        each bucket's reference-attention program (its FrameSpec forces
+        use_controlnet=False and intervals 1, matching the batcher's
+        ref-mode coercions)."""
         from videosd_tpu.pipelines.lcm_img2img import FrameSpec
 
         defaults = getattr(self.config, "option_defaults", None) or {}
@@ -64,6 +68,23 @@ class WarmupMixin:
                     deepcache_temporal=temporal,
                 )
                 self._warm_spec(spec, ref_mode=False)
+                if ref:
+                    import dataclasses
+
+                    # mirror the batcher's ref-mode spec exactly
+                    # (engine_batcher._process_group: no ControlNet, no
+                    # interval/temporal approximations)
+                    self._warm_spec(
+                        dataclasses.replace(
+                            spec,
+                            use_controlnet=False,
+                            controlnet_interval=1,
+                            deepcache_interval=1,
+                            interval_refresh_last=False,
+                            deepcache_temporal=False,
+                        ),
+                        ref_mode=True,
+                    )
 
     def _warm_spec(self, spec, *, ref_mode: bool):
         """Compile + one dummy run of a spec, matching the batcher's EXACT

@@ -44,6 +44,13 @@ def main() -> None:
     ap.add_argument("--sf", type=float, nargs="+", default=[0.0, 0.5, 1.0])
     ap.add_argument("--weights", default=None, help="checkpoint dir (optional)")
     ap.add_argument("--fps-only", action="store_true")
+    ap.add_argument(
+        "--fixed-ref", action="store_true",
+        help="hold the FIRST frame as the reference for the whole "
+        "sequence instead of the serving feedback rule — the A/B that "
+        "separates self-feedback instability from inherent ref-mode "
+        "noise",
+    )
     ap.add_argument("--no-fps", action="store_true")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -193,19 +200,22 @@ def main() -> None:
             outs = []
             ref = frames[0]  # first reference = first camera frame
             # (engine submit_frame: ref_frame starts as the camera frame,
-            # then every generated frame replaces it — replayed here)
+            # then every generated frame replaces it — replayed here;
+            # --fixed-ref pins it instead)
             for f in frames:
                 img, _lat = ref_prog(
                     bundle.params, f, ref, embeds, strength, guidance, sfp, seed
                 )
                 out = np.asarray(img)
                 outs.append(out)
-                ref = jnp.asarray(out)
+                if not args.fixed_ref:
+                    ref = jnp.asarray(out)
             ps = [psnr(o[0], p[0]) for o, p in zip(outs, plain_out)]
             ss = [ssim(o[0], p[0]) for o, p in zip(outs, plain_out)]
             finite = [v for v in ps if np.isfinite(v)]
             row = {
                 "style_fidelity": sf,
+                "ref_rule": "fixed" if args.fixed_ref else "feedback",
                 "vs_plain_psnr_min": round(float(np.min(ps)), 2),
                 "vs_plain_psnr_mean": (
                     round(float(np.mean(finite)), 2) if finite else None

@@ -56,6 +56,12 @@ def main(argv=None) -> None:
         " refresh; no effect when both intervals are 1)",
     )
     p.add_argument(
+        "--ref",
+        action="store_true",
+        help="also warm each bucket's reference-attention program "
+        "(ref-mode streams; double-pass UNet — its own executable)",
+    )
+    p.add_argument(
         "--temporal",
         action="store_true",
         help="warm the temporal-DeepCache variants of every bucket (BOTH"
@@ -79,6 +85,7 @@ def main(argv=None) -> None:
                 batch_sizes=(b,), steps=(s,), cn_interval=args.cn_interval,
                 dc_interval=args.dc_interval, refresh_last=args.refresh_last,
                 temporal=args.temporal or None,
+                ref=args.ref,
             )
             timings[f"b{b}_s{s}"] = round(time.perf_counter() - t0, 2)
     print(
